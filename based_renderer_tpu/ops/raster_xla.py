@@ -1,0 +1,200 @@
+"""Pure-XLA (non-Pallas) rasterizer: the portable correctness path.
+
+Renders by scanning over triangles and evaluating exact edge functions at
+every pixel (emulated 64-bit integer math, see ops/fixedpoint.py), producing
+a *visibility buffer* — per-pixel winning triangle id, depth, and
+barycentrics — followed by a single deferred shading pass.
+
+This path runs on any backend (CPU tests, TPU), is bit-identical in
+coverage and depth to the CPU oracle by construction, and is the oracle for
+the fast Pallas kernel.  Its cost is O(T * H * W), so it is meant for
+small-to-medium triangle counts; the tile-binned Pallas kernel
+(ops/raster_pallas.py) is the production path.
+
+The reference's equivalent stage is the GPU's fixed-function rasterizer +
+fragment pipeline configured at /root/reference/src/main.cpp:1777-1842 and
+driven by draw() at main.cpp:2103.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import fixedpoint as fp
+from .setup import TriSetup, depth_tile_anchor, depth_at_pixel
+
+
+class VisBuffer(NamedTuple):
+    """Per-pixel visibility: which triangle won, at what depth, where."""
+
+    tri_id: jnp.ndarray  # int32 (H, W), -1 = background
+    depth_q: jnp.ndarray  # int32 (H, W) quantized depth (1.0 == 2^30)
+    b0: jnp.ndarray  # f32 (H, W) barycentric weight of v0
+    b1: jnp.ndarray  # f32 (H, W)
+    b2: jnp.ndarray  # f32 (H, W)
+
+    @property
+    def depth(self) -> jnp.ndarray:
+        """Depth as float32 in [0, 1]."""
+        return self.depth_q.astype(jnp.float32) * jnp.float32(fp.DEPTH_Q_TO_F32)
+
+
+_DEPTH_CMP = {
+    "never": lambda z, d: jnp.zeros(z.shape, jnp.bool_),
+    "less": lambda z, d: z < d,
+    "equal": lambda z, d: z == d,
+    "less_equal": lambda z, d: z <= d,
+    "greater": lambda z, d: z > d,
+    "not_equal": lambda z, d: z != d,
+    "greater_equal": lambda z, d: z >= d,
+    "always": lambda z, d: jnp.ones(z.shape, jnp.bool_),
+}
+
+
+def _i64_ge0(hi, lo):
+    return hi >= 0
+
+
+def _i64_gt0(hi, lo):
+    return (hi > 0) | ((hi == 0) & (lo != 0))
+
+
+def rasterize_vis(
+    ts: TriSetup,
+    width: int,
+    height: int,
+    depth_test: bool = True,
+    depth_compare: str = "less",
+    depth_write: bool = True,
+    depth_clear: float = 1.0,
+    depth_clip: bool = True,
+    init: VisBuffer | None = None,
+) -> VisBuffer:
+    """Scan all triangles, exact edge tests at every pixel."""
+    cmp_fn = _DEPTH_CMP[depth_compare]
+    py, px = jnp.mgrid[0:height, 0:width]
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+    px_fp, py_fp = fp.pixel_center_fp(px, py)
+    # Canonical depth-anchor grid (spec: 128-px tiles).
+    anchor_x = (px // fp.DEPTH_TILE) * fp.DEPTH_TILE
+    anchor_y = (py // fp.DEPTH_TILE) * fp.DEPTH_TILE
+
+    if init is None:
+        init = VisBuffer(
+            tri_id=jnp.full((height, width), -1, jnp.int32),
+            depth_q=jnp.full(
+                (height, width),
+                jnp.int32(round(depth_clear * fp.DEPTH_ONE_Q)),
+            ),
+            b0=jnp.zeros((height, width), jnp.float32),
+            b1=jnp.zeros((height, width), jnp.float32),
+            b2=jnp.zeros((height, width), jnp.float32),
+        )
+
+    num_tris = ts.valid.shape[0]
+    if num_tris == 0:  # empty draw: tracing the loop body would index a
+        return init  # size-0 axis (the analog of a 0-vertex vkCmdDraw)
+
+    def body(t, vis: VisBuffer) -> VisBuffer:
+        valid = ts.valid[t]
+        covered = jnp.ones((height, width), jnp.bool_)
+        e_f = []
+        for i in range(3):
+            dx = px_fp - ts.xf[t, i]
+            dy = py_fp - ts.yf[t, i]
+            e = fp.i64_add(fp.i64_mul_i32(ts.a[t, i], dx), fp.i64_mul_i32(ts.b[t, i], dy))
+            inside = jnp.where(ts.bias[t, i] == 0, _i64_ge0(*e), _i64_gt0(*e))
+            covered = covered & inside
+            hi_adj = e[0] + (e[1] < 0).astype(jnp.int32)
+            e_f.append(
+                hi_adj.astype(jnp.float32) * jnp.float32(4294967296.0)
+                + e[1].astype(jnp.float32)
+            )
+        # Scissor to the triangle's bbox (also enforces screen clamp).
+        bb = ts.bbox[t]
+        covered = covered & (px >= bb[0]) & (px < bb[2]) & (py >= bb[1]) & (py < bb[3])
+        covered = covered & valid
+
+        z_tile = depth_tile_anchor(
+            ts.zq[t, 0], ts.xf[t, 0], ts.yf[t, 0], ts.gx[t], ts.gy[t], anchor_x, anchor_y
+        )
+        z = depth_at_pixel(z_tile, ts.dzdx_q[t], ts.dzdy_q[t], px - anchor_x, py - anchor_y)
+        if depth_clip:
+            covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
+        if depth_test:
+            passes = covered & cmp_fn(z, vis.depth_q)
+        else:
+            passes = covered
+
+        inv_area = ts.inv_area[t]
+        nb0 = e_f[1] * inv_area
+        nb1 = e_f[2] * inv_area
+        nb2 = e_f[0] * inv_area
+        new_depth = jnp.where(passes, z, vis.depth_q) if depth_write else vis.depth_q
+        return VisBuffer(
+            tri_id=jnp.where(passes, t, vis.tri_id),
+            depth_q=new_depth,
+            b0=jnp.where(passes, nb0, vis.b0),
+            b1=jnp.where(passes, nb1, vis.b1),
+            b2=jnp.where(passes, nb2, vis.b2),
+        )
+
+    return jax.lax.fori_loop(0, num_tris, body, init, unroll=False)
+
+
+def interpolate_varyings(
+    vis: VisBuffer,
+    varyings: dict[str, jnp.ndarray],
+    inv_w: jnp.ndarray,
+    perspective: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Gather per-triangle vertex attributes and interpolate at each pixel.
+
+    Args:
+      varyings: dict of (T, 3, C) float32 per-vertex attributes.
+      inv_w: (T, 3) per-vertex 1/clip_w from TriSetup.
+    Returns dict of (H, W, C) interpolated attributes (perspective-correct
+    when ``perspective``).
+    """
+    tid = jnp.maximum(vis.tri_id, 0)  # clamp background; masked later by caller
+    b = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)  # (H, W, 3)
+    if perspective:
+        iw = inv_w[tid]  # (H, W, 3)
+        denom = jnp.sum(b * iw, axis=-1, keepdims=True)
+        denom = jnp.where(denom == 0, jnp.float32(1.0), denom)
+        w_persp = (b * iw) / denom
+    else:
+        w_persp = b
+    out = {}
+    for name, attr in varyings.items():
+        av = attr[tid]  # (H, W, 3, C)
+        out[name] = jnp.einsum("hwv,hwvc->hwc", w_persp, av)
+    return out
+
+
+def shade_deferred(
+    vis: VisBuffer,
+    ts: TriSetup,
+    varyings: dict[str, jnp.ndarray],
+    fragment_fn: Callable,
+    uniforms,
+    background: jnp.ndarray,
+    perspective: bool = True,
+) -> jnp.ndarray:
+    """One vectorized fragment-shader pass over the whole framebuffer.
+
+    ``fragment_fn(frag, uniforms) -> (H, W, 4)`` where ``frag`` is a dict of
+    interpolated (H, W, C) varyings plus ``tri_id`` and ``depth``.
+    """
+    interp = interpolate_varyings(vis, varyings, ts.inv_w, perspective)
+    frag = dict(interp)
+    frag["tri_id"] = vis.tri_id
+    frag["depth"] = vis.depth
+    frag["bary"] = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)
+    rgba = fragment_fn(frag, uniforms)
+    mask = (vis.tri_id >= 0)[..., None]
+    return jnp.where(mask, rgba, background)

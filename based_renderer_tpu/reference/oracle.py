@@ -1,0 +1,229 @@
+"""CPU reference rasterizer (the golden oracle).
+
+A deliberately simple, loop-based numpy implementation of the rasterization
+spec in ``ops/fixedpoint.py``.  The reference repo has no tests at all
+(SURVEY.md §4); this oracle is the verification backbone the TPU build adds:
+device rasterizers must produce *bit-identical* coverage (winning triangle
+per pixel) and depth against it.
+
+Numerical contract (shared with ops/setup.py — mirrored, not imported, so
+this stays an independent implementation):
+  * All edge-function math in exact integers (numpy int64 is exact for the
+    <= ~2^40 ranges the guard band allows).
+  * Clip -> screen front-end in float32 with the exact op order of the
+    device path: inv_w = 1/w; ndc = x * inv_w; s = (ndc*0.5 + 0.5) * extent;
+    snap = rint(s * 16).
+  * Depth via the integer quantized-plane spec of ops/fixedpoint.py: 24-bit
+    quantized vertex depth + 6 fractional bits, int32 per-pixel gradients,
+    plane evaluated from canonical 128-px tile anchors.  Every float step is
+    a single multiplication (FMA-proof); all accumulation is integer.
+  * Triangles drawn in index order; depth compare decides survivors, ties
+    ("equal" under the compare op) keep the earlier fragment for "less"/
+    "greater" compares since the later fragment fails the strict test.
+
+The rasterizer stage contract starts at *clip space*: vertex transforms on
+the MXU are not IEEE-f32 dot products, so full-pipeline comparisons are
+approximate while clip-space-onward comparisons are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SUBPIXEL_BITS = 4
+SUBPIXEL_SCALE = 16
+HALF_PIXEL = 8
+GUARD_BAND_PIX = 8192
+GUARD_LO = -GUARD_BAND_PIX * SUBPIXEL_SCALE
+GUARD_HI = GUARD_BAND_PIX * SUBPIXEL_SCALE - 1
+DEPTH_LSB_BITS = 24
+DEPTH_FRAC_BITS = 6
+DEPTH_ONE_Q = 1 << 30
+DEPTH_VERTEX_CLAMP = 1 << 29
+DEPTH_GRAD_CLAMP = (1 << 22) - 1
+DEPTH_TILE = 128
+
+_COMPARES = {
+    "never": lambda z, d: np.zeros_like(z, dtype=bool),
+    "less": lambda z, d: z < d,
+    "equal": lambda z, d: z == d,
+    "less_equal": lambda z, d: z <= d,
+    "greater": lambda z, d: z > d,
+    "not_equal": lambda z, d: z != d,
+    "greater_equal": lambda z, d: z >= d,
+    "always": lambda z, d: np.ones_like(z, dtype=bool),
+}
+
+
+def _recip_f32_exact(x) -> np.ndarray:
+    """Mirror of the device's exactly-specified reciprocal (ops/fixedpoint.py
+    recip_f32_exact): q = floor(2^47 / mantissa) computed with big integers,
+    result = f32(q) * 2^(103 - biased_exponent)."""
+    x = np.asarray(x, np.float32)
+    bits = x.view(np.int32)
+    e = (bits >> 23) & np.int32(0xFF)
+    mw = ((bits & np.int32(0x7FFFFF)) | np.int32(0x800000)).astype(np.int64)
+    q = ((1 << 47) // mw).astype(np.float32)  # exact: f32 holds ints <= 2^24
+    exp_s = np.clip(np.int32(230) - e, 1, 254).astype(np.int32)
+    scale = (exp_s << 23).view(np.float32)
+    return np.float32(q * scale)
+
+
+def _i64_pair_to_f32(v) -> np.ndarray:
+    """Mirror of the device's deterministic int64 -> f32 conversion
+    (signed-low-word split: exact for |v| < 2^31, see ops/setup.py)."""
+    v = np.asarray(v, np.int64)
+    lo_s = (v & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    hi_adj = ((v >> np.int64(32)).astype(np.int32) + (lo_s < 0)).astype(np.float32)
+    return np.float32(hi_adj * np.float32(4294967296.0) + lo_s.astype(np.float32))
+
+
+def rasterize(
+    clip_pos: np.ndarray,
+    width: int,
+    height: int,
+    cull_mode: str = "none",
+    front_face: str = "ccw",
+    depth_test: bool = True,
+    depth_compare: str = "less",
+    depth_write: bool = True,
+    depth_clear: float = 1.0,
+    depth_clip: bool = True,
+    w_eps: float = 1e-6,
+):
+    """Rasterize triangles, returning coverage/depth/barycentric buffers.
+
+    Args:
+      clip_pos: (T, 3, 4) float32 clip-space positions.
+    Returns dict with:
+      tri_id:  (H, W) int32 — winning triangle index, -1 where uncovered.
+      depth_q: (H, W) int32 — final quantized depth buffer (1.0 == 2^30).
+      depth:   (H, W) float32 — depth_q converted to [0, 1].
+      bary:    (H, W, 3) float32 — barycentric weights of the winner.
+    """
+    clip_pos = np.asarray(clip_pos, np.float32)
+    num_tris = clip_pos.shape[0]
+    tri_id = np.full((height, width), -1, np.int32)
+    depth_buf = np.full((height, width), np.int32(round(depth_clear * DEPTH_ONE_Q)), np.int32)
+    bary_buf = np.zeros((height, width, 3), np.float32)
+    cmp_fn = _COMPARES[depth_compare]
+
+    for t in range(num_tris):
+        x = clip_pos[t, :, 0]
+        y = clip_pos[t, :, 1]
+        z = clip_pos[t, :, 2]
+        w = clip_pos[t, :, 3]
+        if np.any(w <= np.float32(w_eps)):
+            continue
+        inv_w = _recip_f32_exact(w)
+        ndc_x = x * inv_w
+        ndc_y = y * inv_w
+        ndc_z = z * inv_w
+        # FMA-proof viewport+snap: xf = rint(ndc_x * 8W) + 8W (see setup.py).
+        lim = np.float32(1 << 30)
+        tx = np.clip(ndc_x * np.float32(8 * width), -lim, lim)
+        tyv = np.clip(ndc_y * np.float32(8 * height), -lim, lim)
+        xf = np.rint(tx).astype(np.int64) + np.int64(8 * width)
+        yf = np.rint(tyv).astype(np.int64) + np.int64(8 * height)
+        xf = np.clip(xf, GUARD_LO, GUARD_HI)
+        yf = np.clip(yf, GUARD_LO, GUARD_HI)
+
+        # Edge coefficients; E_i(p) = A_i*(p.x - x_i) + B_i*(p.y - y_i),
+        # edge i from v_i to v_{i+1 mod 3}.
+        a = yf - np.roll(yf, -1)
+        b = np.roll(xf, -1) - xf
+        d1 = (xf[1] - xf[0], yf[1] - yf[0])
+        d2 = (xf[2] - xf[0], yf[2] - yf[0])
+        area2 = int(d1[0] * d2[1] - d1[1] * d2[0])
+        if area2 == 0:
+            continue
+        is_front = (area2 < 0) if front_face == "ccw" else (area2 > 0)
+        if cull_mode == "back" and not is_front:
+            continue
+        if cull_mode == "front" and is_front:
+            continue
+        if area2 < 0:  # winding normalization: interior = all E >= 0
+            a, b, area2 = -a, -b, -area2
+        bias = np.where((a < 0) | ((a == 0) & (b < 0)), np.int64(0), np.int64(-1))
+
+        # Pixel bbox (pixel center px+0.5 covered iff px*16+8 within extent).
+        x0 = max(0, -(-(int(xf.min()) - HALF_PIXEL) // SUBPIXEL_SCALE))
+        y0 = max(0, -(-(int(yf.min()) - HALF_PIXEL) // SUBPIXEL_SCALE))
+        x1 = min(width, (int(xf.max()) - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
+        y1 = min(height, (int(yf.max()) - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+
+        inv_area = _recip_f32_exact(_i64_pair_to_f32(area2))
+
+        # Integer quantized-depth plane (see ops/fixedpoint.py spec).
+        zq = np.clip(
+            np.rint(ndc_z * np.float32(1 << DEPTH_LSB_BITS)).astype(np.int64),
+            -DEPTH_VERTEX_CLAMP,
+            DEPTH_VERTEX_CLAMP,
+        )
+        num_x = a[1] * zq[0] + a[2] * zq[1] + a[0] * zq[2]  # exact int64
+        num_y = b[1] * zq[0] + b[2] * zq[1] + b[0] * zq[2]
+        gx = np.float32(_i64_pair_to_f32(num_x) * inv_area)
+        gy = np.float32(_i64_pair_to_f32(num_y) * inv_area)
+        grad_scale = np.float32(SUBPIXEL_SCALE * (1 << DEPTH_FRAC_BITS))
+        gclamp = np.float32(DEPTH_GRAD_CLAMP)
+        dzdx_q = np.int64(np.rint(np.clip(np.float32(gx * grad_scale), -gclamp, gclamp)))
+        dzdy_q = np.int64(np.rint(np.clip(np.float32(gy * grad_scale), -gclamp, gclamp)))
+
+        # Exact per-pixel edge values over the bbox: e[i] has shape (bh, bw).
+        px = np.arange(x0, x1, dtype=np.int64) * SUBPIXEL_SCALE + HALF_PIXEL
+        py = np.arange(y0, y1, dtype=np.int64) * SUBPIXEL_SCALE + HALF_PIXEL
+        dx = px[None, :] - xf[:, None]  # (3, bw)
+        dy = py[None, :] - yf[:, None]  # (3, bh)
+        e = a[:, None, None] * dx[:, None, :] + b[:, None, None] * dy[:, :, None]
+        covered = np.all(e + bias[:, None, None] >= 0, axis=0)  # (bh, bw)
+        if not covered.any():
+            continue
+
+        # Per-pixel quantized depth from canonical 128-px tile anchors.
+        pxs = np.arange(x0, x1, dtype=np.int64)
+        pys = np.arange(y0, y1, dtype=np.int64)
+        anchor_x = (pxs // DEPTH_TILE) * DEPTH_TILE
+        anchor_y = (pys // DEPTH_TILE) * DEPTH_TILE
+        frac = np.float32(1 << DEPTH_FRAC_BITS)
+        lim = np.float32(1 << 30)
+        ax_fp = anchor_x * SUBPIXEL_SCALE + HALF_PIXEL
+        ay_fp = anchor_y * SUBPIXEL_SCALE + HALF_PIXEL
+        dxf = (ax_fp - xf[0]).astype(np.float32)
+        dyf = (ay_fp - yf[0]).astype(np.float32)
+        tx = np.rint(np.clip(np.float32(gx * dxf) * frac, -lim, lim)).astype(np.int64)
+        ty = np.rint(np.clip(np.float32(gy * dyf) * frac, -lim, lim)).astype(np.int64)
+        zt = zq[0] * np.int64(1 << DEPTH_FRAC_BITS) + tx[None, :] + ty[:, None]
+        clampv = np.int64((1 << 30) - 1)
+        z_tile = np.clip(zt, -clampv, clampv)
+        zpix = (
+            z_tile
+            + dzdx_q * (pxs - anchor_x)[None, :]
+            + dzdy_q * (pys - anchor_y)[:, None]
+        ).astype(np.int32)
+
+        if depth_clip:
+            covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)
+        window_d = depth_buf[y0:y1, x0:x1]
+        passes = covered & (cmp_fn(zpix, window_d) if depth_test else True)
+        # Barycentrics of surviving pixels (attribute interpolation inputs;
+        # not part of the bit-identity contract but computed with the same
+        # deterministic formula as the device path).
+        e_f = _i64_pair_to_f32(e)
+        b0 = e_f[1] * inv_area
+        b1 = e_f[2] * inv_area
+        b2 = e_f[0] * inv_area
+
+        tri_id[y0:y1, x0:x1][passes] = t
+        if depth_write:
+            window_d[passes] = zpix[passes]
+        bw = bary_buf[y0:y1, x0:x1]
+        bw[passes] = np.stack([b0, b1, b2], axis=-1)[passes]
+
+    return {
+        "tri_id": tri_id,
+        "depth_q": depth_buf,
+        "depth": depth_buf.astype(np.float32) * np.float32(1.0 / DEPTH_ONE_Q),
+        "bary": bary_buf,
+    }
