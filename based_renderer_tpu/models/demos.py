@@ -1,0 +1,147 @@
+"""The demo set: the reference's two demos plus the BASELINE configs.
+
+Each demo returns (pipeline, mesh, uniforms_fn, instances) where
+``uniforms_fn(t)`` produces the per-frame uniforms at animation time ``t``
+— the analog of the reference's per-frame ``rotate_cube`` update
+(/root/reference/src/main.cpp:788-809).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import math3d
+from ..pipeline import DepthState, Pipeline
+from ..renderer import Renderer
+from . import geometry
+
+
+def triangle_demo(r: Renderer):
+    """BASELINE config 1 / triangle.slang: flat NDC triangle, no depth."""
+    data = geometry.triangle_mesh_data()
+    mesh = r.upload_mesh(data["positions"])
+    pipe = Pipeline(shader="flat_ndc", depth=DepthState(test=False, write=False))
+    return pipe, mesh, lambda t: {}, None
+
+
+def cube_demo(r: Renderer, vertex_colors: bool = True):
+    """BASELINE config 2 / cube.slang: spinning cube, depth-tested.
+
+    Uniforms mirror the reference: model spins about -Y (rotate_cube,
+    main.cpp:792), view = translate z -3 (main.cpp:793, 1523), proj =
+    perspective 45 deg (main.cpp:1524 — the initial write; the 180-deg
+    per-frame fov at main.cpp:794 is a noted WIP quirk we do not copy).
+    """
+    data = geometry.cube_mesh_data()
+    kwargs = {"color": data["color"]} if vertex_colors else {}
+    mesh = r.upload_mesh(data["positions"], **kwargs)
+    shader = "vertex_color" if vertex_colors else "flat_mvp"
+    pipe = Pipeline(shader=shader, depth=DepthState(test=True, write=True, compare="less"))
+    aspect = r.config.width / r.config.height
+
+    def uniforms(t):
+        model = math3d.rotate(jnp.float32(t), (0.0, -1.0, 0.0))
+        model = math3d.rotate(np.float32(np.radians(-55.0)), (1.0, 0.0, 0.0), model)
+        view = math3d.translate((0.0, 0.0, 3.0))  # camera at z=-3 looking +z
+        proj = math3d.perspective(np.radians(45.0), aspect, 0.1, 10.0)
+        return {"model": model, "view": view, "proj": proj}
+
+    return pipe, mesh, uniforms, None
+
+
+def textured_cube_demo(r: Renderer):
+    """BASELINE config 3: textured + Lambert-lit cube, back-face culled."""
+    data = geometry.cube_mesh_data()
+    mesh = r.upload_mesh(data["positions"], uv=data["uv"], normal=data["normal"])
+    tex = r.upload_texture(geometry.checkerboard_texture())
+    pipe = Pipeline(
+        shader="textured_lit",
+        depth=DepthState(test=True, write=True, compare="less"),
+        cull_mode="back",
+        front_face="ccw",
+    )
+    aspect = r.config.width / r.config.height
+
+    def uniforms(t):
+        model = math3d.rotate(jnp.float32(t), (0.0, -1.0, 0.0))
+        model = math3d.rotate(np.float32(np.radians(-55.0)), (1.0, 0.0, 0.0), model)
+        view = math3d.translate((0.0, 0.0, 3.0))
+        proj = math3d.perspective(np.radians(45.0), aspect, 0.1, 10.0)
+        return {
+            "model": model,
+            "view": view,
+            "proj": proj,
+            "texture": tex,
+            "light_dir": jnp.asarray([0.3, 0.4, 1.0], jnp.float32),
+            "ambient": 0.15,
+        }
+
+    return pipe, mesh, uniforms, None
+
+
+def instanced_demo(r: Renderer, count: int = 10_000):
+    """BASELINE config 4: a field of instanced cubes."""
+    data = geometry.cube_mesh_data()
+    mesh = r.upload_mesh(data["positions"])
+    transforms, colors = geometry.instanced_grid_transforms(count)
+    instances = {
+        "transform": jnp.asarray(transforms.reshape(count, 16)),
+        "instance_color": jnp.asarray(colors),
+    }
+    pipe = Pipeline(
+        shader="instanced_color",
+        depth=DepthState(test=True, write=True, compare="less"),
+        cull_mode="back",
+        front_face="ccw",
+    )
+    aspect = r.config.width / r.config.height
+    extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
+
+    def uniforms(t):
+        eye = jnp.asarray(
+            [np.cos(t * 0.3) * extent, -extent * 0.6, np.sin(t * 0.3) * extent],
+            jnp.float32,
+        )
+        view = math3d.look_at(eye, (0.0, 0.0, 0.0), (0.0, -1.0, 0.0))
+        proj = math3d.perspective(np.radians(60.0), aspect, 0.1, extent * 4.0)
+        return {"view": view, "proj": proj}
+
+    return pipe, mesh, uniforms, instances
+
+
+def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
+    """BASELINE config 5: ~1M-triangle mesh with Blinn-Phong shading."""
+    data = geometry.procedural_mesh_data(triangles)
+    mesh = r.upload_mesh(data["positions"], indices=data["indices"], normal=data["normal"])
+    pipe = Pipeline(
+        shader="blinn_phong",
+        depth=DepthState(test=True, write=True, compare="less"),
+        cull_mode="back",
+        front_face="ccw",
+    )
+    aspect = r.config.width / r.config.height
+
+    def uniforms(t):
+        model = math3d.rotate(jnp.float32(t * 0.5), (0.0, -1.0, 0.0))
+        view = math3d.translate((0.0, 0.0, 2.2))
+        proj = math3d.perspective(np.radians(50.0), aspect, 0.1, 10.0)
+        return {
+            "model": model,
+            "view": view,
+            "proj": proj,
+            "light_pos": jnp.asarray([3.0, -3.0, -3.0], jnp.float32),
+            "eye_pos": jnp.asarray([0.0, 0.0, -2.2], jnp.float32),
+            "base_color": jnp.asarray([0.55, 0.65, 0.8], jnp.float32),
+        }
+
+    return pipe, mesh, uniforms, None
+
+
+DEMOS = {
+    "triangle": triangle_demo,
+    "cube": cube_demo,
+    "textured_cube": textured_cube_demo,
+    "instanced": instanced_demo,
+    "big_mesh": big_mesh_demo,
+}

@@ -57,29 +57,49 @@ MAX_TILE_PIX = 128  # largest tile for which the int32 stepping proof holds
 #
 # Float mul+add chains are not deterministic across compilers (XLA freely
 # contracts them into FMAs), so interpolated depth is defined as an *integer*
-# quantized-plane evaluation:
-#   zq_i      = clamp(rint(z_ndc_i * 2^24), +/-2^29)            per vertex
-#   gx        = f32(A1*zq0 + A2*zq1 + A0*zq2) * inv_area        (LSB/fp-unit)
-#   gy        = likewise with B
-#   dzdx_q    = clamp(rint(gx * 1024), +/-(2^22-1))             (LSB/2^6 per px)
-#   dzdy_q    = likewise
+# quantized-plane evaluation with a per-triangle adaptive exponent:
+#
+#   zq_i   = clamp(rint(z_ndc_i * 2^24), +/-2^29)               per vertex
+#   gx     = f32(A1*zq0 + A2*zq1 + A0*zq2) * inv_area           (LSB/fp-unit)
+#   gy     = likewise with B
+#   slope  = max(|gx|, |gy|) * 16                               (LSB/pixel)
+#   s      = clamp(biased_exp(slope) - 141, 0, 24)   ("zshift"; chosen so
+#            slope * 2^(6-s) < 2^21 — steep, near-edge-on planes trade
+#            fractional depth bits for range instead of corrupting)
+#   units  = 2^(6-s) LSB, values stored *biased* by -mid_u, mid_u = 2^29>>s
+#            (the depth midpoint), so the valid window is symmetric
+#   dzdx_q = clamp(rint((gx*16) * 2^(6-s)), +/-(2^21-1))        int32/units
+#   dzdy_q = likewise
 #   at a canonical 128-px tile anchor (ax, ay) = 128-grid pixel center:
-#   z_tile    = clamp64(zq0*64 + R(gx * f32(ax_fp - x0_fp) * 64)
-#                              + R(gy * f32(ay_fp - y0_fp) * 64), +/-(2^30-1))
+#   base   = (zq0 >> max(0, s-6)) * 2^max(0, 6-s) - mid_u       exact
+#   z_tile = clamp64(base + R(gx * f32(ax_fp-x0_fp) * 2^(6-s))
+#                         + R(gy * f32(ay_fp-y0_fp) * 2^(6-s)),
+#                    +/-(mid_u + 2^29))
 #   per pixel (dx, dy = offsets from the tile anchor, < 128):
-#   z_q       = z_tile + dzdx_q*dx + dzdy_q*dy                  int32, exact
+#   z_u    = z_tile + dzdx_q*dx + dzdy_q*dy                     int32, exact
+#   z_q    = (clamp(z_u, +/-(mid_u + 1)) << s) + 2^29           (unbias)
+#
 # where R(v) = rint(clamp(v, +/-2^30)) and every f32 step is a single
-# multiplication (FMA-proof).  Depth compares/stores operate on z_q; the
-# value 1.0 is DEPTH_ONE_Q = 2^30, and fragments with z_q outside
-# [0, 2^30] are depth-clipped.  Overflow proof mirrors the edge-function
-# one: |dzdx_q*dx + dzdy_q*dy| <= 2 * (2^22-1) * 127 < 2^30, and the
-# anchor is clamped to +/-(2^30-1), so |z_q| < 2^31.
+# multiplication (FMA-proof; multiplies by powers of two are exact).
+# Depth compares/stores operate on z_q; the value 1.0 is DEPTH_ONE_Q =
+# 2^30, and fragments with z_q outside [0, 2^30] are depth-clipped.
+#
+# Value-exactness proof (stronger than the edge functions' sign-class
+# proof, since depth needs exact magnitudes): in-tile variation
+# V = |dzdx_q*dx + dzdy_q*dy| <= 2*(2^21-1)*127 < 2^29.  If the plane is
+# inside the valid window [0, 2^30] (biased: [-mid_u, +mid_u]) at ANY
+# in-tile pixel, the anchor lies within mid_u + V < the clamp bound, so
+# the anchor is NOT clamped and every in-tile value is exact.  If the
+# anchor IS clamped, every in-tile pixel is >= clampbound - V >
+# mid_u + 1 outside the window, so all its fragments are depth-clipped
+# either way.  Ranges: |z_tile| <= mid_u + 2^29 <= 2^30, |z_u| <=
+# 2^30 + 2^29 < 2^31, |z_q| <= 2^29 + 2^s + 2^29 < 2^31.
 # ---------------------------------------------------------------------------
 DEPTH_LSB_BITS = 24
 DEPTH_FRAC_BITS = 6
 DEPTH_ONE_Q = 1 << (DEPTH_LSB_BITS + DEPTH_FRAC_BITS)  # == 2^30 == depth 1.0
 DEPTH_VERTEX_CLAMP = 1 << 29  # clamp on per-vertex quantized z
-DEPTH_GRAD_CLAMP = (1 << 22) - 1
+DEPTH_GRAD_CLAMP = (1 << 21) - 1
 DEPTH_TILE = 128  # canonical anchor grid for quantized-plane evaluation
 DEPTH_Q_TO_F32 = 1.0 / DEPTH_ONE_Q
 

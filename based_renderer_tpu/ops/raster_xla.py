@@ -72,6 +72,7 @@ def rasterize_vis(
     depth_clear: float = 1.0,
     depth_clip: bool = True,
     init: VisBuffer | None = None,
+    id_offset: int = 0,
 ) -> VisBuffer:
     """Scan all triangles, exact edge tests at every pixel."""
     cmp_fn = _DEPTH_CMP[depth_compare]
@@ -120,9 +121,18 @@ def rasterize_vis(
         covered = covered & valid
 
         z_tile = depth_tile_anchor(
-            ts.zq[t, 0], ts.xf[t, 0], ts.yf[t, 0], ts.gx[t], ts.gy[t], anchor_x, anchor_y
+            ts.zq[t, 0],
+            ts.xf[t, 0],
+            ts.yf[t, 0],
+            ts.gx[t],
+            ts.gy[t],
+            ts.zshift[t],
+            anchor_x,
+            anchor_y,
         )
-        z = depth_at_pixel(z_tile, ts.dzdx_q[t], ts.dzdy_q[t], px - anchor_x, py - anchor_y)
+        z = depth_at_pixel(
+            z_tile, ts.dzdx_q[t], ts.dzdy_q[t], ts.zshift[t], px - anchor_x, py - anchor_y
+        )
         if depth_clip:
             covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
         if depth_test:
@@ -136,7 +146,7 @@ def rasterize_vis(
         nb2 = e_f[0] * inv_area
         new_depth = jnp.where(passes, z, vis.depth_q) if depth_write else vis.depth_q
         return VisBuffer(
-            tri_id=jnp.where(passes, t, vis.tri_id),
+            tri_id=jnp.where(passes, t + jnp.int32(id_offset), vis.tri_id),
             depth_q=new_depth,
             b0=jnp.where(passes, nb0, vis.b0),
             b1=jnp.where(passes, nb1, vis.b1),

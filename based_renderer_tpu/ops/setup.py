@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import fixedpoint as fp
@@ -47,8 +48,9 @@ class TriSetup(NamedTuple):
     zq: jnp.ndarray  # int32 (T, 3) per-vertex quantized depth (24.0 LSB)
     gx: jnp.ndarray  # f32 (T,) depth LSB per +1 fp unit in x
     gy: jnp.ndarray  # f32 (T,)
-    dzdx_q: jnp.ndarray  # int32 (T,) depth LSB/2^6 per +1 pixel in x
+    dzdx_q: jnp.ndarray  # int32 (T,) depth units (2^(6-zshift) LSB) per px
     dzdy_q: jnp.ndarray  # int32 (T,)
+    zshift: jnp.ndarray  # int32 (T,) adaptive exponent of the depth plane
 
 
 def _i64_to_f32(hi, lo):
@@ -182,10 +184,18 @@ def setup_triangles(
     )
     gx = _i64_to_f32(*num_x) * inv_area  # depth LSB per +1 fp unit in x
     gy = _i64_to_f32(*num_y) * inv_area
-    grad_scale = jnp.float32(fp.SUBPIXEL_SCALE * (1 << fp.DEPTH_FRAC_BITS))  # 1024
+    # Adaptive exponent from the slope's f32 exponent (all exact ops).
+    slope = jnp.maximum(jnp.abs(gx), jnp.abs(gy)) * jnp.float32(fp.SUBPIXEL_SCALE)
+    eb = (jax.lax.bitcast_convert_type(slope, jnp.int32) >> 23) & jnp.int32(0xFF)
+    zshift = jnp.clip(eb - jnp.int32(141), 0, 24)
+    unit_scale = jax.lax.bitcast_convert_type(
+        (jnp.int32(133) - zshift) << 23, jnp.float32
+    )  # f32 2^(6-zshift), exact
     gclamp = jnp.float32(fp.DEPTH_GRAD_CLAMP)
-    dzdx_q = jnp.rint(jnp.clip(gx * grad_scale, -gclamp, gclamp)).astype(jnp.int32)
-    dzdy_q = jnp.rint(jnp.clip(gy * grad_scale, -gclamp, gclamp)).astype(jnp.int32)
+    gx16 = gx * jnp.float32(fp.SUBPIXEL_SCALE)
+    gy16 = gy * jnp.float32(fp.SUBPIXEL_SCALE)
+    dzdx_q = jnp.rint(jnp.clip(gx16 * unit_scale, -gclamp, gclamp)).astype(jnp.int32)
+    dzdy_q = jnp.rint(jnp.clip(gy16 * unit_scale, -gclamp, gclamp)).astype(jnp.int32)
 
     return TriSetup(
         valid=valid,
@@ -205,6 +215,7 @@ def setup_triangles(
         gy=gy,
         dzdx_q=dzdx_q,
         dzdy_q=dzdy_q,
+        zshift=zshift,
     )
 
 
@@ -234,31 +245,47 @@ def barycentrics_f32(e0, e1, e2, inv_area):
     return b0, b1, b2
 
 
-def depth_tile_anchor(zq0, x0f, y0f, gx, gy, ax, ay):
-    """Quantized plane value (LSB * 2^6 units) at a canonical tile anchor.
+def depth_tile_anchor(zq0, x0f, y0f, gx, gy, zshift, ax, ay):
+    """Quantized plane value (2^(6-zshift) LSB units) at a tile anchor.
 
     Args:
       zq0: int32 quantized depth of vertex 0; x0f/y0f its fixed-point coords.
       gx, gy: f32 depth gradients (LSB per fp unit).
+      zshift: int32 per-triangle adaptive exponent.
       ax, ay: anchor pixel indices (multiples of fp.DEPTH_TILE).
     All array args broadcast together.  Returns clamped int32.
     """
     ax_fp, ay_fp = fp.pixel_center_fp(ax, ay)
-    frac = jnp.float32(1 << fp.DEPTH_FRAC_BITS)
+    unit_scale = jax.lax.bitcast_convert_type(
+        (jnp.int32(133) - zshift) << 23, jnp.float32
+    )  # 2^(6-zshift)
     lim = jnp.float32(1 << 30)
     dxf = (ax_fp - x0f).astype(jnp.float32)
     dyf = (ay_fp - y0f).astype(jnp.float32)
-    tx = jnp.rint(jnp.clip(gx * dxf * frac, -lim, lim)).astype(jnp.int32)
-    ty = jnp.rint(jnp.clip(gy * dyf * frac, -lim, lim)).astype(jnp.int32)
-    base = fp.i64_mul_i32(zq0, jnp.full_like(zq0, 1 << fp.DEPTH_FRAC_BITS))
+    tx = jnp.rint(jnp.clip(gx * dxf * unit_scale, -lim, lim)).astype(jnp.int32)
+    ty = jnp.rint(jnp.clip(gy * dyf * unit_scale, -lim, lim)).astype(jnp.int32)
+    # base = (zq0 >> max(0, s-6)) * 2^max(0, 6-s) - mid_u, exact in i64.
+    rsh = jnp.clip(zshift - fp.DEPTH_FRAC_BITS, 0, 24)
+    pow_l = jnp.left_shift(jnp.int32(1), jnp.clip(fp.DEPTH_FRAC_BITS - zshift, 0, 6))
+    base32 = jnp.right_shift(zq0, rsh)
+    mid_u = jnp.right_shift(jnp.int32(1 << 29), zshift)
+    base = fp.i64_mul_i32(base32, pow_l)
+    base = fp.i64_add(base, fp.i64_from_i32(-mid_u))
     s = fp.i64_add(fp.i64_add(base, fp.i64_from_i32(tx)), fp.i64_from_i32(ty))
-    clamp = (1 << 30) - 1
-    return fp.i64_clamp_to_i32(s, -clamp, clamp)
+    # Clamp with headroom: only planes fully out of range in this tile can
+    # clamp (value-exactness proof in ops/fixedpoint.py).
+    clamp_hi = mid_u + jnp.int32(1 << 29)
+    return jnp.clip(fp.i64_clamp_to_i32(s, -(1 << 30), 1 << 30), -clamp_hi, clamp_hi)
 
 
-def depth_at_pixel(z_tile, dzdx_q, dzdy_q, dx, dy):
-    """Per-pixel quantized depth: int32-exact step from the tile anchor.
+def depth_at_pixel(z_tile, dzdx_q, dzdy_q, zshift, dx, dy):
+    """Per-pixel quantized depth: int32-exact step from the tile anchor,
+    then unbias/rescale to global LSB*2^6 units.
 
     dx, dy are pixel offsets from the canonical tile anchor (< 128).
+    Out-of-range planes land strictly outside [0, 2^30] so depth clip
+    discards them.
     """
-    return z_tile + dzdx_q * dx + dzdy_q * dy
+    z_u = z_tile + dzdx_q * dx + dzdy_q * dy
+    hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+    return jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)

@@ -1,0 +1,99 @@
+"""Pipeline state: the static specialization keys of a frame program.
+
+The reference bakes render state into an immutable ``vk::Pipeline``
+(/root/reference/src/main.cpp:1626-1874: shader stages, topology, viewport,
+rasterization, depth-stencil, blend, dynamic-rendering formats).  The TPU
+analog is this frozen dataclass: every field is a *static* argument of the
+jitted frame function, so XLA specializes and fuses one compiled program
+per distinct pipeline state — and the frame-program cache (renderer.py) is
+the analog of the reference's ``vk::PipelineCache`` (main.cpp:1626-1633).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+_COMPARE_OPS = (
+    "never",
+    "less",
+    "equal",
+    "less_equal",
+    "greater",
+    "not_equal",
+    "greater_equal",
+    "always",
+)
+_CULL_MODES = ("none", "back", "front")
+_FRONT_FACES = ("ccw", "cw")
+_BLEND_FACTORS = (
+    "zero",
+    "one",
+    "src_alpha",
+    "one_minus_src_alpha",
+    "dst_alpha",
+    "one_minus_dst_alpha",
+)
+
+
+@dataclass(frozen=True)
+class DepthState:
+    """Depth test/write state.
+
+    The reference allocates a D24S8 depth buffer but ships with the depth
+    test disabled (commented-out DepthStencilState with compare eLess,
+    main.cpp:1792-1804); both configurations are expressible here.
+    """
+
+    test: bool = True
+    write: bool = True
+    compare: str = "less"
+    clip: bool = True  # discard fragments with interpolated z outside [0,1]
+
+    def __post_init__(self):
+        if self.compare not in _COMPARE_OPS:
+            raise ValueError(f"bad depth compare {self.compare!r}; one of {_COMPARE_OPS}")
+
+
+@dataclass(frozen=True)
+class BlendState:
+    """Color blend state (reference: single attachment, all factors Zero —
+    blending effectively disabled, main.cpp:1806-1827).
+
+    Blending composites per-draw over the accumulated color buffer:
+    out = src * src_factor + dst * dst_factor.
+    """
+
+    enable: bool = False
+    src_factor: str = "one"
+    dst_factor: str = "zero"
+
+    def __post_init__(self):
+        for f in (self.src_factor, self.dst_factor):
+            if f not in _BLEND_FACTORS:
+                raise ValueError(f"bad blend factor {f!r}; one of {_BLEND_FACTORS}")
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """Immutable render-state bundle; hashable, used as a jit cache key."""
+
+    shader: str = "unlit"
+    depth: DepthState = field(default_factory=DepthState)
+    cull_mode: str = "none"  # main.cpp:1782 uses eNone
+    # Winding that counts as front-facing, in conventional y-UP screen
+    # orientation (the default mirrors main.cpp:1783's eCounterClockwise).
+    # Gotcha, exactly as in Vulkan: with the framework's y-down NDC and
+    # math3d.perspective (+z forward), meshes with right-handed outward
+    # winding project *clockwise* — pair them with front_face="cw".
+    front_face: str = "ccw"
+    blend: BlendState = field(default_factory=BlendState)
+    perspective_correct: bool = True
+    # Note: the sample count (MSAA) is a render-target property and lives in
+    # RendererConfig, mirroring how dynamic rendering ties sample count to
+    # the attachments rather than only the pipeline.
+
+    def __post_init__(self):
+        if self.cull_mode not in _CULL_MODES:
+            raise ValueError(f"bad cull_mode {self.cull_mode!r}; one of {_CULL_MODES}")
+        if self.front_face not in _FRONT_FACES:
+            raise ValueError(f"bad front_face {self.front_face!r}; one of {_FRONT_FACES}")

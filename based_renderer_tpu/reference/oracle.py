@@ -166,10 +166,16 @@ def rasterize(
         num_y = b[1] * zq[0] + b[2] * zq[1] + b[0] * zq[2]
         gx = np.float32(_i64_pair_to_f32(num_x) * inv_area)
         gy = np.float32(_i64_pair_to_f32(num_y) * inv_area)
-        grad_scale = np.float32(SUBPIXEL_SCALE * (1 << DEPTH_FRAC_BITS))
+        # Adaptive exponent (zshift) from the slope's f32 biased exponent.
+        slope = np.float32(max(abs(gx), abs(gy)) * np.float32(SUBPIXEL_SCALE))
+        eb = int(slope.view(np.int32) >> 23) & 0xFF
+        zshift = int(np.clip(eb - 141, 0, 24))
+        unit_scale = np.int32((133 - zshift) << 23).view(np.float32)
         gclamp = np.float32(DEPTH_GRAD_CLAMP)
-        dzdx_q = np.int64(np.rint(np.clip(np.float32(gx * grad_scale), -gclamp, gclamp)))
-        dzdy_q = np.int64(np.rint(np.clip(np.float32(gy * grad_scale), -gclamp, gclamp)))
+        gx16 = np.float32(gx * np.float32(SUBPIXEL_SCALE))
+        gy16 = np.float32(gy * np.float32(SUBPIXEL_SCALE))
+        dzdx_q = np.int64(np.rint(np.clip(np.float32(gx16 * unit_scale), -gclamp, gclamp)))
+        dzdy_q = np.int64(np.rint(np.clip(np.float32(gy16 * unit_scale), -gclamp, gclamp)))
 
         # Exact per-pixel edge values over the bbox: e[i] has shape (bh, bw).
         px = np.arange(x0, x1, dtype=np.int64) * SUBPIXEL_SCALE + HALF_PIXEL
@@ -186,22 +192,27 @@ def rasterize(
         pys = np.arange(y0, y1, dtype=np.int64)
         anchor_x = (pxs // DEPTH_TILE) * DEPTH_TILE
         anchor_y = (pys // DEPTH_TILE) * DEPTH_TILE
-        frac = np.float32(1 << DEPTH_FRAC_BITS)
         lim = np.float32(1 << 30)
         ax_fp = anchor_x * SUBPIXEL_SCALE + HALF_PIXEL
         ay_fp = anchor_y * SUBPIXEL_SCALE + HALF_PIXEL
         dxf = (ax_fp - xf[0]).astype(np.float32)
         dyf = (ay_fp - yf[0]).astype(np.float32)
-        tx = np.rint(np.clip(np.float32(gx * dxf) * frac, -lim, lim)).astype(np.int64)
-        ty = np.rint(np.clip(np.float32(gy * dyf) * frac, -lim, lim)).astype(np.int64)
-        zt = zq[0] * np.int64(1 << DEPTH_FRAC_BITS) + tx[None, :] + ty[:, None]
-        clampv = np.int64((1 << 30) - 1)
+        tx = np.rint(np.clip(np.float32(gx * dxf) * unit_scale, -lim, lim)).astype(np.int64)
+        ty = np.rint(np.clip(np.float32(gy * dyf) * unit_scale, -lim, lim)).astype(np.int64)
+        mid_u = np.int64((1 << 29) >> zshift)
+        base = (int(zq[0]) >> max(0, zshift - DEPTH_FRAC_BITS)) * (
+            1 << max(0, DEPTH_FRAC_BITS - zshift)
+        ) - mid_u
+        zt = np.int64(base) + tx[None, :] + ty[:, None]
+        clampv = mid_u + np.int64(1 << 29)
         z_tile = np.clip(zt, -clampv, clampv)
-        zpix = (
+        z_u = (
             z_tile
             + dzdx_q * (pxs - anchor_x)[None, :]
             + dzdy_q * (pys - anchor_y)[:, None]
-        ).astype(np.int32)
+        )
+        hi_c = mid_u + 1
+        zpix = ((np.clip(z_u, -hi_c, hi_c) << zshift) + np.int64(1 << 29)).astype(np.int32)
 
         if depth_clip:
             covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)

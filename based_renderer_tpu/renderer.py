@@ -1,0 +1,309 @@
+"""Renderer: record draws -> one jit-compiled frame program (the L3/L6 core).
+
+This replaces the reference's whole command-buffer machinery: where the
+reference records barriers + beginRendering + bind + draw + present-layout
+transitions into a ``vk::CommandBuffer`` every frame
+(/root/reference/src/main.cpp:1920-2139), here ``begin_frame``/``draw``/
+``end_frame`` record a draw list that is traced *once* per distinct
+(pipeline state, mesh/uniform shapes) signature into a single fused XLA
+program, cached like the reference's ``vk::PipelineCache``
+(main.cpp:1626-1633), and replayed with zero re-tracing thereafter.
+
+Frame program structure (all inside one jit):
+  clear -> per draw: vertex stage (MXU matmul) -> triangle setup ->
+  rasterize into a shared visibility buffer -> per draw: deferred fragment
+  shading + blend composite -> (optional MSAA resolve) -> color image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import shader as shader_lib
+from .ops import raster_xla
+from .ops.raster_xla import VisBuffer
+from .ops.setup import setup_triangles
+from .ops.vertex import expand_instances, gather_triangles
+from .ops import fixedpoint as fp
+from .pipeline import Pipeline
+from .scene import Mesh, Texture, upload_mesh, upload_texture
+from .utils.errors import DrawError, FrameError
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Static renderer configuration (the analog of the compile-time
+    BASED_RENDERER_* flag family, main.cpp:3-29, plus swapchain extent)."""
+
+    width: int = 800
+    height: int = 600
+    msaa: int = 1  # 1 or 4; 4 renders visibility/shading at 2x2 per pixel
+    clear_color: tuple = (0.0, 0.0, 0.0, 1.0)  # main.cpp clears to black
+    clear_depth: float = 1.0
+    debug: bool = False  # NaN/shape validation (the validation-layer analog)
+    raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def __post_init__(self):
+        if self.msaa not in (1, 4):
+            raise ValueError("msaa must be 1 or 4")
+        if self.width <= 0 or self.height <= 0 or self.width > 8192 or self.height > 8192:
+            raise ValueError("extent must be within 1..8192")
+
+
+@dataclass
+class _DrawCmd:
+    pipeline: Pipeline
+    mesh: Mesh
+    uniforms: Any
+    instances: Optional[dict]
+
+
+@dataclass
+class FrameResult:
+    """Rendered frame (device arrays; fetch lazily)."""
+
+    color: jnp.ndarray  # (H, W, 4) f32
+    depth_q: jnp.ndarray  # (H*s, W*s) int32 quantized depth
+    tri_id: jnp.ndarray  # (H*s, W*s) int32
+
+    def color_np(self) -> np.ndarray:
+        return np.asarray(self.color)
+
+    def color_u8(self) -> np.ndarray:
+        return np.asarray(
+            jnp.clip(self.color * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        )
+
+    def depth_np(self) -> np.ndarray:
+        return np.asarray(self.depth_q, np.int64).astype(np.float64) / fp.DEPTH_ONE_Q
+
+
+def _blend(src, dst, state):
+    def factor(name, s, d):
+        if name == "zero":
+            return jnp.float32(0.0)
+        if name == "one":
+            return jnp.float32(1.0)
+        if name == "src_alpha":
+            return s[..., 3:4]
+        if name == "one_minus_src_alpha":
+            return 1.0 - s[..., 3:4]
+        if name == "dst_alpha":
+            return d[..., 3:4]
+        if name == "one_minus_dst_alpha":
+            return 1.0 - d[..., 3:4]
+        raise ValueError(name)
+
+    if not state.enable:
+        return src
+    return src * factor(state.src_factor, src, dst) + dst * factor(state.dst_factor, src, dst)
+
+
+class Renderer:
+    """Single-device renderer; see parallel/ for the multi-chip tiled path."""
+
+    def __init__(self, config: RendererConfig = RendererConfig(), device=None):
+        self.config = config
+        self.device = device if device is not None else jax.devices()[0]
+        self._draws: list[_DrawCmd] = []
+        self._in_frame = False
+        self._frame_clear = (config.clear_color, config.clear_depth)
+        self._program_cache: dict = {}
+        self.frame_count = 0
+
+    # -- resources ---------------------------------------------------------
+
+    def upload_mesh(self, positions, indices=None, **attrs) -> Mesh:
+        return upload_mesh(positions, indices=indices, device=self.device, **attrs)
+
+    def upload_texture(self, image) -> Texture:
+        return upload_texture(image, device=self.device)
+
+    # -- frame recording ---------------------------------------------------
+
+    def begin_frame(self, clear_color=None, clear_depth=None):
+        if self._in_frame:
+            raise FrameError("begin_frame called twice without end_frame")
+        self._in_frame = True
+        self._draws = []
+        self._frame_clear = (
+            tuple(clear_color) if clear_color is not None else self.config.clear_color,
+            float(clear_depth) if clear_depth is not None else self.config.clear_depth,
+        )
+        return self
+
+    def draw(self, pipeline: Pipeline, mesh: Mesh, uniforms=None, instances=None):
+        if not self._in_frame:
+            raise FrameError("draw outside begin_frame/end_frame")
+        shd = shader_lib.get(pipeline.shader)  # validates the shader name
+        for need in shd.attributes:
+            if need not in mesh.attributes and not (instances and need in instances) and not (
+                instances and f"instance_{need}" in instances
+            ):
+                raise DrawError(
+                    f"shader {pipeline.shader!r} needs attribute {need!r}; "
+                    f"mesh has {sorted(mesh.attributes)}"
+                )
+        self._draws.append(_DrawCmd(pipeline, mesh, uniforms or {}, instances))
+
+    def end_frame(self) -> FrameResult:
+        if not self._in_frame:
+            raise FrameError("end_frame without begin_frame")
+        self._in_frame = False
+        draws = self._draws
+        self._draws = []
+        key = self._cache_key(draws)
+        program = self._program_cache.get(key)
+        if program is None:
+            program = self._build_program(draws)
+            self._program_cache[key] = program
+        dyn = self._dynamic_args(draws)
+        clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
+        clear_depth_q = jnp.int32(round(self._frame_clear[1] * fp.DEPTH_ONE_Q))
+        color, depth_q, tri_id = program(dyn, clear_color, clear_depth_q)
+        if self.config.debug:
+            cnp = np.asarray(color)
+            if not np.isfinite(cnp).all():
+                raise FrameError("non-finite values in rendered color buffer")
+        self.frame_count += 1
+        return FrameResult(color=color, depth_q=depth_q, tri_id=tri_id)
+
+    def render_frame(self, pipeline, mesh, uniforms=None, instances=None, **clear) -> FrameResult:
+        """Convenience: one-draw frame."""
+        self.begin_frame(**clear)
+        self.draw(pipeline, mesh, uniforms, instances)
+        return self.end_frame()
+
+    # -- program construction ----------------------------------------------
+
+    def _cache_key(self, draws):
+        def sig(x):
+            if isinstance(x, Texture):
+                x = x.data
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return (tuple(x.shape), str(x.dtype))
+            return repr(x)
+
+        parts = [self.config.width, self.config.height, self.config.msaa]
+        for d in draws:
+            u_leaves, u_tree = jax.tree.flatten(d.uniforms)
+            parts.append(
+                (
+                    d.pipeline,
+                    tuple(sorted((k, sig(v)) for k, v in d.mesh.attributes.items())),
+                    None if d.mesh.indices is None else sig(d.mesh.indices),
+                    None
+                    if not d.instances
+                    else tuple(sorted((k, sig(v)) for k, v in d.instances.items())),
+                    str(u_tree),
+                    tuple(sig(l) for l in u_leaves),
+                )
+            )
+        return tuple(parts)
+
+    @staticmethod
+    def _uniform_leaf(x):
+        if isinstance(x, Texture):
+            return x.data
+        a = jnp.asarray(x)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            a = a.astype(jnp.float32)
+        return a
+
+    def _dynamic_args(self, draws):
+        out = []
+        for d in draws:
+            out.append(
+                {
+                    "attrs": d.mesh.attributes,
+                    "indices": d.mesh.indices,
+                    "instances": d.instances or {},
+                    "uniforms": jax.tree.map(self._uniform_leaf, d.uniforms),
+                }
+            )
+        return out
+
+    def _build_program(self, draws):
+        cfg = self.config
+        scale = 2 if cfg.msaa == 4 else 1
+        rw, rh = cfg.width * scale, cfg.height * scale
+        pipelines = [d.pipeline for d in draws]
+        shaders = [shader_lib.get(p.shader) for p in pipelines]
+        mesh_templates = [
+            Mesh(attributes=d.mesh.attributes, indices=d.mesh.indices) for d in draws
+        ]
+
+        def frame(dyn, clear_color, clear_depth_q):
+            vis = VisBuffer(
+                tri_id=jnp.full((rh, rw), -1, jnp.int32),
+                depth_q=jnp.full((rh, rw), clear_depth_q),
+                b0=jnp.zeros((rh, rw), jnp.float32),
+                b1=jnp.zeros((rh, rw), jnp.float32),
+                b2=jnp.zeros((rh, rw), jnp.float32),
+            )
+            # Pass 1: visibility (rasterize every draw into the shared buffer).
+            per_draw = []
+            offset = 0
+            for i, d in enumerate(dyn):
+                pipe = pipelines[i]
+                mesh = Mesh(attributes=d["attrs"], indices=d["indices"])
+                attrs, tri_idx = expand_instances(mesh, d["instances"])
+                clip, varyings = shaders[i].vertex(attrs, d["uniforms"])
+                clip_tri, var_tri = gather_triangles(clip, varyings, tri_idx)
+                ts = setup_triangles(
+                    clip_tri, rw, rh, cull_mode=pipe.cull_mode, front_face=pipe.front_face
+                )
+                vis = raster_xla.rasterize_vis(
+                    ts,
+                    rw,
+                    rh,
+                    depth_test=pipe.depth.test,
+                    depth_compare=pipe.depth.compare,
+                    depth_write=pipe.depth.write,
+                    depth_clip=pipe.depth.clip,
+                    init=vis,
+                    id_offset=offset,
+                )
+                per_draw.append((ts, var_tri, offset, ts.valid.shape[0]))
+                offset += ts.valid.shape[0]
+
+            # Pass 2: deferred shading + blend composite, one pass per draw.
+            color = jnp.broadcast_to(clear_color, (rh, rw, 4)).astype(jnp.float32)
+            for i, d in enumerate(dyn):
+                ts, var_tri, off, ntri = per_draw[i]
+                pipe = pipelines[i]
+                mask = (vis.tri_id >= off) & (vis.tri_id < off + ntri)
+                local = jnp.where(mask, vis.tri_id - off, -1)
+                vis_local = vis._replace(tri_id=local)
+                rgba = raster_xla.shade_deferred(
+                    vis_local,
+                    ts,
+                    var_tri,
+                    shaders[i].fragment,
+                    d["uniforms"],
+                    background=color,
+                    perspective=pipe.perspective_correct,
+                )
+                blended = _blend(rgba, color, pipe.blend)
+                color = jnp.where(mask[..., None], blended, color)
+
+            if scale == 2:  # MSAA-4x box resolve
+                resolved = color.reshape(cfg.height, 2, cfg.width, 2, 4).mean(axis=(1, 3))
+            else:
+                resolved = color
+            return resolved, vis.depth_q, vis.tri_id
+
+        return jax.jit(frame)
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def num_cached_programs(self) -> int:
+        return len(self._program_cache)

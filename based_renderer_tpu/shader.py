@@ -1,0 +1,237 @@
+"""Shader system: vertex/fragment programs as composable Python functions.
+
+The reference compiles Slang modules at runtime (``loadModule("cube")`` →
+entry points ``vs``/``ps`` → SPIR-V → ``vk::ShaderModule``,
+/root/reference/src/main.cpp:1587-1727).  Here a "shader module" is a pair
+of traced JAX functions; "compilation" is jit tracing into the frame
+program, and the registry below is the module search path (the analog of
+the Slang session's ``src/`` search path, main.cpp:1613-1617).
+
+ABI:
+  vertex(attrs, uniforms) -> (clip_pos, varyings)
+      attrs:    dict[str, (N, C) f32] per-vertex attributes; always
+                contains "position" (N, 3 or 4).  For instanced draws the
+                arrays are (I*N, C) with instance attributes pre-broadcast.
+      returns:  clip_pos (N, 4) f32, varyings dict[str, (N, C) f32] —
+                attributes to interpolate across triangles.
+  fragment(frag, uniforms) -> rgba (H, W, 4) f32
+      frag: dict of interpolated (H, W, C) varyings plus "tri_id" (H, W)
+            int32, "depth" (H, W) f32, "bary" (H, W, 3) f32, and
+            "pixel_xy" when requested.
+
+Uniforms are an arbitrary pytree (typically a dict holding the reference's
+``Uniforms { model, view, proj }``, main.cpp:781-786, plus textures and
+light parameters).  Fragment stages run *deferred*: once per pixel over
+the whole framebuffer on the VPU, after visibility is resolved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax.numpy as jnp
+
+from . import math3d
+from .ops import texture as tex_ops
+
+
+@dataclass(frozen=True)
+class Shader:
+    name: str
+    vertex: Callable
+    fragment: Callable
+    # Names of the vertex attributes this shader consumes (besides position).
+    attributes: tuple = ()
+
+
+_REGISTRY: dict[str, Shader] = {}
+
+
+def register(shader: Shader) -> Shader:
+    _REGISTRY[shader.name] = shader
+    return shader
+
+
+def get(name: str) -> Shader:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown shader {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Common vertex-stage helpers
+# ---------------------------------------------------------------------------
+
+
+def mvp_transform(attrs, uniforms):
+    """clip = proj @ view @ model @ pos — the cube.slang:61 transform, as a
+    single fused (N,4)x(4,4) MXU matmul against the combined matrix."""
+    mvp = uniforms["proj"] @ uniforms["view"] @ uniforms["model"]
+    return math3d.transform_points(mvp, attrs["position"])
+
+
+# ---------------------------------------------------------------------------
+# Built-in shaders (the ports of src/triangle.slang and src/cube.slang,
+# plus the richer stages for BASELINE configs 3-5)
+# ---------------------------------------------------------------------------
+
+REFERENCE_COLOR = (0.1, 0.2, 0.3, 1.0)  # constant ps color, triangle.slang:17
+
+
+def _passthrough_vs(attrs, uniforms):
+    """NDC passthrough (triangle.slang:4-13: vertices already in NDC)."""
+    p = attrs["position"]
+    if p.shape[-1] == 3:
+        p = jnp.concatenate([p, jnp.ones((*p.shape[:-1], 1), jnp.float32)], -1)
+    elif p.shape[-1] == 2:
+        pad = jnp.concatenate(
+            [jnp.zeros((*p.shape[:-1], 1), jnp.float32), jnp.ones((*p.shape[:-1], 1), jnp.float32)],
+            -1,
+        )
+        p = jnp.concatenate([p, pad], -1)
+    return p, {}
+
+
+def _const_color_fs(frag, uniforms):
+    color = uniforms.get("color", REFERENCE_COLOR) if isinstance(uniforms, dict) else REFERENCE_COLOR
+    h, w = frag["tri_id"].shape
+    return jnp.broadcast_to(jnp.asarray(color, jnp.float32), (h, w, 4))
+
+
+register(Shader("flat_ndc", _passthrough_vs, _const_color_fs))
+"""The triangle.slang program: NDC positions, constant color."""
+
+
+def _mvp_vs(attrs, uniforms):
+    return mvp_transform(attrs, uniforms), {}
+
+
+register(Shader("flat_mvp", _mvp_vs, _const_color_fs))
+"""The cube.slang program: MVP transform, constant color."""
+
+
+def _color_vs(attrs, uniforms):
+    clip = mvp_transform(attrs, uniforms)
+    return clip, {"color": attrs["color"]}
+
+
+def _vertex_color_fs(frag, uniforms):
+    rgb = frag["color"]
+    a = jnp.ones((*rgb.shape[:2], 1), jnp.float32)
+    return jnp.concatenate([rgb, a], -1)
+
+
+register(Shader("vertex_color", _color_vs, _vertex_color_fs, attributes=("color",)))
+"""Per-vertex color with smooth interpolation (BASELINE config 2)."""
+
+
+def _ndc_color_vs(attrs, uniforms):
+    clip, _ = _passthrough_vs(attrs, uniforms)
+    return clip, {"color": attrs["color"]}
+
+
+register(Shader("ndc_color", _ndc_color_vs, _vertex_color_fs, attributes=("color",)))
+
+
+def _textured_lit_vs(attrs, uniforms):
+    clip = mvp_transform(attrs, uniforms)
+    model = uniforms["model"]
+    n_mat = math3d.normal_matrix(model)
+    normal_ws = attrs["normal"] @ n_mat.T
+    return clip, {"uv": attrs["uv"], "normal": normal_ws}
+
+
+def _textured_lit_fs(frag, uniforms):
+    """Bilinear-sampled albedo * Lambert diffuse (BASELINE config 3)."""
+    albedo = tex_ops.sample_bilinear(uniforms["texture"], frag["uv"])
+    n = frag["normal"]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    light_dir = uniforms.get("light_dir", jnp.asarray([0.0, 0.0, -1.0], jnp.float32))
+    light_dir = light_dir / jnp.linalg.norm(light_dir)
+    ndotl = jnp.maximum(jnp.sum(n * (-light_dir), axis=-1, keepdims=True), 0.0)
+    ambient = jnp.float32(uniforms.get("ambient", 0.15))
+    rgb = albedo[..., :3] * (ambient + (1.0 - ambient) * ndotl)
+    a = jnp.ones((*rgb.shape[:2], 1), jnp.float32)
+    return jnp.concatenate([rgb, a], -1)
+
+
+register(
+    Shader("textured_lit", _textured_lit_vs, _textured_lit_fs, attributes=("uv", "normal"))
+)
+
+
+def _blinn_phong_vs(attrs, uniforms):
+    clip = mvp_transform(attrs, uniforms)
+    model = uniforms["model"]
+    pos_ws = math3d.transform_points(model, attrs["position"])[..., :3]
+    n_mat = math3d.normal_matrix(model)
+    normal_ws = attrs["normal"] @ n_mat.T
+    out = {"normal": normal_ws, "pos_ws": pos_ws}
+    if "color" in attrs:
+        out["color"] = attrs["color"]
+    return clip, out
+
+
+def _blinn_phong_fs(frag, uniforms):
+    """Blinn-Phong: ambient + diffuse + specular (BASELINE config 5)."""
+    n = frag["normal"]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    pos = frag["pos_ws"]
+    light_pos = jnp.asarray(uniforms.get("light_pos", [2.0, -2.0, -2.0]), jnp.float32)
+    eye_pos = jnp.asarray(uniforms.get("eye_pos", [0.0, 0.0, -3.0]), jnp.float32)
+    base = frag.get("color")
+    if base is None:
+        base = jnp.broadcast_to(
+            jnp.asarray(uniforms.get("base_color", [0.7, 0.7, 0.75]), jnp.float32),
+            (*n.shape[:2], 3),
+        )
+    l = light_pos - pos
+    l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True), 1e-8)
+    v = eye_pos - pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    ndoth = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
+    shininess = jnp.float32(uniforms.get("shininess", 32.0))
+    ambient = jnp.float32(uniforms.get("ambient", 0.1))
+    spec = ndoth**shininess
+    rgb = base * (ambient + ndotl) + jnp.float32(0.3) * spec
+    a = jnp.ones((*rgb.shape[:2], 1), jnp.float32)
+    return jnp.concatenate([jnp.clip(rgb, 0.0, 1.0), a], -1)
+
+
+register(Shader("blinn_phong", _blinn_phong_vs, _blinn_phong_fs, attributes=("normal",)))
+
+
+def _instanced_color_vs(attrs, uniforms):
+    """Per-instance transform (BASELINE config 4) then shared view/proj."""
+    from .ops.vertex import apply_instance_transform
+
+    world = apply_instance_transform(attrs)
+    vp = uniforms["proj"] @ uniforms["view"]
+    clip = world @ vp.T
+    out = {}
+    if "color" in attrs:
+        out["color"] = attrs["color"]
+    if "instance_color" in attrs:
+        out["color"] = attrs["instance_color"]
+    return clip, out
+
+
+register(
+    Shader(
+        "instanced_color",
+        _instanced_color_vs,
+        _vertex_color_fs,
+        attributes=("color",),
+    )
+)

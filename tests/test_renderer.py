@@ -1,0 +1,192 @@
+"""Renderer API tests: demos, program cache, culling, MSAA, blending."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import based_renderer_tpu as brt
+from based_renderer_tpu.models import demos, geometry
+from based_renderer_tpu.pipeline import DepthState, Pipeline
+
+
+SMALL = brt.RendererConfig(width=96, height=64)
+
+
+def covered(frame):
+    return int((np.asarray(frame.tri_id) >= 0).sum())
+
+
+def test_triangle_demo_coverage_exact():
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.triangle_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.0))
+    # NDC triangle spans half the screen in x and y: area = W/2 * H/2 / 2.
+    assert covered(f) == SMALL.width * SMALL.height // 8
+    # Constant reference color (0.1, 0.2, 0.3, 1.0) where covered.
+    img = f.color_np()
+    m = np.asarray(f.tri_id) >= 0
+    np.testing.assert_allclose(
+        img[m][:, :3], np.broadcast_to(np.float32([0.1, 0.2, 0.3]), img[m][:, :3].shape), atol=1e-6
+    )
+
+
+def test_cube_demo_renders_and_caches():
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    f0 = r.render_frame(pipe, mesh, uniforms(0.0))
+    f1 = r.render_frame(pipe, mesh, uniforms(0.7))
+    assert covered(f0) > 0 and covered(f1) > 0
+    # Animation changed the image but not the compiled program count.
+    assert not np.array_equal(f0.color_np(), f1.color_np())
+    assert r.num_cached_programs == 1
+    # A different pipeline state compiles a second program (the
+    # vk::Pipeline-per-state analog).
+    pipe2 = Pipeline(shader=pipe.shader, depth=DepthState(test=False, write=False))
+    r.render_frame(pipe2, mesh, uniforms(0.0))
+    assert r.num_cached_programs == 2
+
+
+def test_cube_depth_occlusion():
+    """With depth testing, far faces never overwrite near ones: every
+    covered pixel's depth must be strictly less than the clear depth."""
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.4))
+    d = np.asarray(f.depth_q)
+    m = np.asarray(f.tri_id) >= 0
+    assert (d[m] < 2**30).all()
+    assert (d[~m] == 2**30).all()
+
+
+def test_backface_cull_watertight():
+    """Culling back faces of a closed mesh must not change the depth-tested
+    image; culling front faces must."""
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    f_none = r.render_frame(pipe, mesh, uniforms(0.5))
+    f_back = r.render_frame(
+        Pipeline(shader=pipe.shader, depth=pipe.depth, cull_mode="back", front_face="ccw"),
+        mesh,
+        uniforms(0.5),
+    )
+    f_front = r.render_frame(
+        Pipeline(shader=pipe.shader, depth=pipe.depth, cull_mode="front", front_face="ccw"),
+        mesh,
+        uniforms(0.5),
+    )
+    np.testing.assert_array_equal(f_none.color_np(), f_back.color_np())
+    assert not np.array_equal(f_none.color_np(), f_front.color_np())
+
+
+def test_textured_demo():
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.textured_cube_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.6))
+    assert covered(f) > 0
+    img = f.color_np()
+    covered_px = img[np.asarray(f.tri_id) >= 0]
+    # Checkerboard: meaningful brightness variance across the surface.
+    assert covered_px[:, :3].std() > 0.05
+
+
+def test_instanced_demo():
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, instances = demos.instanced_demo(r, count=16)
+    f = r.render_frame(pipe, mesh, uniforms(0.2), instances=instances)
+    assert covered(f) > 0
+    # More than one instance visible: multiple distinct colors.
+    img = f.color_np()[np.asarray(f.tri_id) >= 0]
+    assert len(np.unique(np.round(img[:, :3], 3), axis=0)) > 4
+
+
+def test_big_mesh_demo_small():
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.big_mesh_demo(r, triangles=500)
+    f = r.render_frame(pipe, mesh, uniforms(0.1))
+    assert covered(f) > 0
+
+
+def test_multi_draw_depth_interleave():
+    """Two draws into one frame share the depth buffer: the second draw's
+    nearer geometry wins, its farther geometry loses."""
+    r = brt.Renderer(SMALL)
+    tri = geometry.triangle_mesh_data()
+    near = r.upload_mesh(tri["positions"] * np.float32([[2.0, 2.0, 0.0]]) + np.float32([[0, 0, 0.3]]))
+    far = r.upload_mesh(tri["positions"] * np.float32([[2.0, 2.0, 0.0]]) + np.float32([[0, 0, 0.7]]))
+    pipe_red = Pipeline(shader="flat_ndc")
+    r.begin_frame(clear_color=(0, 0, 0, 1))
+    r.draw(pipe_red, far, {"color": (1.0, 0.0, 0.0, 1.0)})
+    r.draw(pipe_red, near, {"color": (0.0, 1.0, 0.0, 1.0)})
+    f = r.end_frame()
+    img = f.color_np()
+    m = np.asarray(f.tri_id) >= 0
+    # near (green) must fully occlude far (red): no red pixels remain.
+    assert (img[m][:, 1] > 0.9).all()
+    assert (img[m][:, 0] < 0.1).all()
+
+    # Reversed draw order: depth test still keeps green in front.
+    r.begin_frame(clear_color=(0, 0, 0, 1))
+    r.draw(pipe_red, near, {"color": (0.0, 1.0, 0.0, 1.0)})
+    r.draw(pipe_red, far, {"color": (1.0, 0.0, 0.0, 1.0)})
+    f2 = r.end_frame()
+    np.testing.assert_array_equal(f2.color_np(), img)
+
+
+def test_msaa_resolve_edges():
+    """MSAA-4x: edge pixels take intermediate values; interior identical."""
+    cfg = brt.RendererConfig(width=96, height=64, msaa=4)
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.triangle_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.0))
+    img = f.color_np()
+    r1 = brt.Renderer(brt.RendererConfig(width=96, height=64))
+    f1 = r1.render_frame(pipe, mesh, uniforms(0.0))
+    img1 = f1.color_np()
+    # Some pixels are partially covered (alpha strictly between bg and fg).
+    frac = ((img[..., 2] > 0.05) & (img[..., 2] < 0.28)).sum()
+    assert frac > 0
+    # Aliased image has no such fractional pixels for a flat color.
+    frac1 = ((img1[..., 2] > 1e-6) & (img1[..., 2] < 0.29)).sum()
+    assert frac1 == 0
+
+
+def test_alpha_blend():
+    r = brt.Renderer(SMALL)
+    tri = geometry.triangle_mesh_data()
+    mesh = r.upload_mesh(tri["positions"] * np.float32([[2.0, 2.0, 0.0]]))
+    blend = brt.BlendState(enable=True, src_factor="src_alpha", dst_factor="one_minus_src_alpha")
+    pipe = Pipeline(shader="flat_ndc", blend=blend, depth=DepthState(test=False, write=False))
+    r.begin_frame(clear_color=(0, 0, 1, 1))
+    r.draw(pipe, mesh, {"color": (1.0, 0.0, 0.0, 0.5)})
+    f = r.end_frame()
+    img = f.color_np()
+    m = np.asarray(f.tri_id) >= 0
+    np.testing.assert_allclose(img[m][:, 0], 0.5, atol=1e-5)
+    np.testing.assert_allclose(img[m][:, 2], 0.5, atol=1e-5)
+
+
+def test_frame_misuse_raises():
+    r = brt.Renderer(SMALL)
+    with pytest.raises(brt.errors.FrameError):
+        r.end_frame()
+    tri = geometry.triangle_mesh_data()
+    mesh = r.upload_mesh(tri["positions"])
+    with pytest.raises(brt.errors.FrameError):
+        r.draw(Pipeline(shader="flat_ndc"), mesh)
+    r.begin_frame()
+    with pytest.raises(brt.errors.FrameError):
+        r.begin_frame()
+
+
+def test_missing_attribute_raises():
+    r = brt.Renderer(SMALL)
+    tri = geometry.triangle_mesh_data()
+    mesh = r.upload_mesh(tri["positions"])  # no color attribute
+    r.begin_frame()
+    with pytest.raises(brt.errors.DrawError):
+        r.draw(Pipeline(shader="vertex_color"), mesh, {})
+
+
+def test_unknown_shader_raises():
+    with pytest.raises(KeyError):
+        brt.shader.get("nope")
