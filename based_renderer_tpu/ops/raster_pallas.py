@@ -1,0 +1,309 @@
+"""Tile-binned Pallas TPU rasterizer — the production raster path.
+
+This is the renderer's central native component: the TPU replacement for
+the fixed-function rasterizer the reference merely configures
+(/root/reference/src/main.cpp:1777-1842).  One Pallas program per screen
+tile keeps the tile's depth/visibility state in VMEM scratch and loops
+over that tile's binned triangle records (ops/binning.py) with pure int32
+VPU arithmetic — identical, by the anchored-exactness proofs in
+ops/fixedpoint.py, to the exact-arithmetic XLA path and the CPU oracle.
+
+Dataflow per tile (grid = (num_ty, num_tx)):
+  scalar-prefetched tile_start/tile_count index a flat record array in
+  HBM; records stream in CHUNK-row slices into double-buffered VMEM
+  scratch via async DMA overlapping the raster loop; the inner loop
+  rasterizes one record per iteration over the whole (TH, TW) tile
+  vectorized on the VPU; finally the VMEM visibility state is written to
+  the output blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fixedpoint as fp
+from .binning import FRECORD_WIDTH, RECORD_WIDTH, bin_triangles
+from .raster_xla import VisBuffer
+from .setup import TriSetup
+
+CHUNK = 128  # records DMA'd per step
+
+
+def _depth_cmp(compare: str, z, zbuf):
+    if compare == "never":
+        return jnp.zeros(z.shape, jnp.bool_)
+    if compare == "less":
+        return z < zbuf
+    if compare == "equal":
+        return z == zbuf
+    if compare == "less_equal":
+        return z <= zbuf
+    if compare == "greater":
+        return z > zbuf
+    if compare == "not_equal":
+        return z != zbuf
+    if compare == "greater_equal":
+        return z >= zbuf
+    if compare == "always":
+        return jnp.ones(z.shape, jnp.bool_)
+    raise ValueError(compare)
+
+
+def _raster_kernel(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    records_hbm,  # (MAXPAIRS, RECORD_WIDTH) int32, stays in HBM
+    frecords_hbm,  # (MAXPAIRS, FRECORD_WIDTH) f32, stays in HBM
+    *rest,
+    tile_w: int,
+    tile_h: int,
+    num_tx: int,
+    depth_test: bool,
+    depth_compare: str,
+    depth_write: bool,
+    depth_clip: bool,
+    clear_depth_q: int,
+    has_init: bool,
+):
+    # rest = [init blocks x5 if has_init] + outputs x5 + scratch x7.
+    ninit = 5 if has_init else 0
+    init_refs = rest[:ninit]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref = rest[ninit : ninit + 5]
+    chunk_vmem, fchunk_vmem, zs, ids, b0s, b1s, b2s, sems, fsems = rest[ninit + 5 :]
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * num_tx + tx
+    # Segment starts are SEGMENT_ALIGN(=CHUNK)-aligned by the binner;
+    # Mosaic needs the hint to prove DMA offset alignment.
+    start = pl.multiple_of(tile_start_ref[tile], CHUNK)
+    count = tile_count_ref[tile]
+
+    if has_init:
+        # Continue an earlier draw's visibility state (multi-draw frames).
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        ids[:] = i_id[:]
+        zs[:] = i_z[:]
+        b0s[:] = i_b0[:]
+        b1s[:] = i_b1[:]
+        b2s[:] = i_b2[:]
+    else:
+        zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
+        ids[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
+        b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b2s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def get_fdma(slot, c):
+        return pltpu.make_async_copy(
+            frecords_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            fchunk_vmem.at[slot],
+            fsems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+        get_fdma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+            get_fdma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        get_fdma(slot, c).wait()
+
+        def rec_body(i, _):
+            @pl.when(c * CHUNK + i < count)
+            def _():
+                def f(j):
+                    return chunk_vmem[slot, j, i]  # scalar field read
+
+                e0 = f(0) + f(3) * ix + f(6) * iy
+                e1 = f(1) + f(4) * ix + f(7) * iy
+                e2 = f(2) + f(5) * ix + f(8) * iy
+                covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+
+                zshift = f(12)
+                z_u = f(9) + f(10) * ix + f(11) * iy
+                hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+                z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
+                if depth_clip:
+                    covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+                if depth_test:
+                    passes = covered & _depth_cmp(depth_compare, z, zs[:])
+                else:
+                    passes = covered
+
+                def ff(j):
+                    return fchunk_vmem[slot, j, i]
+
+                ixf = ix.astype(jnp.float32)
+                iyf = iy.astype(jnp.float32)
+                nb0 = ff(0) + ff(1) * ixf + ff(2) * iyf
+                nb1 = ff(3) + ff(4) * ixf + ff(5) * iyf
+                nb2 = (1.0 - nb0) - nb1
+                if depth_write:
+                    zs[:] = jnp.where(passes, z, zs[:])
+                ids[:] = jnp.where(passes, f(13), ids[:])
+                b0s[:] = jnp.where(passes, nb0, b0s[:])
+                b1s[:] = jnp.where(passes, nb1, b1s[:])
+                b2s[:] = jnp.where(passes, nb2, b2s[:])
+
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(count - c * CHUNK, CHUNK), rec_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    tri_id_ref[:] = ids[:]
+    depth_ref[:] = zs[:]
+    b0_ref[:] = b0s[:]
+    b1_ref[:] = b1s[:]
+    b2_ref[:] = b2s[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "tile_w",
+        "tile_h",
+        "depth_test",
+        "depth_compare",
+        "depth_write",
+        "depth_clip",
+        "depth_clear",
+        "max_pairs",
+        "interpret",
+    ),
+)
+def rasterize_vis_pallas(
+    ts: TriSetup,
+    width: int,
+    height: int,
+    tile_w: int = 128,
+    tile_h: int = 32,
+    depth_test: bool = True,
+    depth_compare: str = "less",
+    depth_write: bool = True,
+    depth_clip: bool = True,
+    depth_clear: float = 1.0,
+    max_pairs: int | None = None,
+    interpret: bool = False,
+    init: VisBuffer | None = None,
+    id_offset: int = 0,
+) -> VisBuffer:
+    """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
+
+    The framebuffer is internally padded up to tile multiples and cropped
+    on return.  Coverage and depth are bit-identical to the XLA path and
+    the CPU oracle.  Pass ``init`` to continue a previous draw's
+    visibility buffer (multi-draw frames).
+    """
+    pad_w = -(-width // tile_w) * tile_w
+    pad_h = -(-height // tile_h) * tile_h
+    num_tx = pad_w // tile_w
+    num_ty = pad_h // tile_h
+    clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
+    has_init = init is not None
+
+    binned = bin_triangles(ts, width, height, tile_w, tile_h, max_pairs, id_offset)
+    # Segments are SEGMENT_ALIGN-padded by the binner, so CHUNK-rounded
+    # DMA slices stay in bounds.
+    records = binned.records
+    frecords = binned.frecords
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        num_tx=num_tx,
+        depth_test=depth_test,
+        depth_compare=depth_compare,
+        depth_write=depth_write,
+        depth_clip=depth_clip,
+        clear_depth_q=clear_q,
+        has_init=has_init,
+    )
+
+    tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), pl.BlockSpec(memory_space=pltpu.ANY)]
+    inputs = [binned.tile_start, binned.tile_count, records, frecords]
+    if has_init:
+        pad_spec = ((0, pad_h - height), (0, pad_w - width))
+        inputs += [
+            jnp.pad(init.tri_id, pad_spec, constant_values=-1),
+            jnp.pad(init.depth_q, pad_spec, constant_values=clear_q),
+            jnp.pad(init.b0, pad_spec),
+            jnp.pad(init.b1, pad_spec),
+            jnp.pad(init.b2, pad_spec),
+        ]
+        in_specs += [tile_block() for _ in range(5)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_ty, num_tx),
+        in_specs=in_specs,
+        out_specs=[tile_block() for _ in range(5)],
+        scratch_shapes=[
+            pltpu.SMEM((2, RECORD_WIDTH, CHUNK), jnp.int32),
+            pltpu.SMEM((2, FRECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+            pltpu.VMEM((tile_h, tile_w), jnp.int32),
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+    ]
+
+    tri_id, depth_q, b0, b1, b2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+
+    crop = lambda x: x[:height, :width]
+    return VisBuffer(
+        tri_id=crop(tri_id),
+        depth_q=crop(depth_q),
+        b0=crop(b0),
+        b1=crop(b1),
+        b2=crop(b2),
+    )

@@ -73,12 +73,20 @@ def rasterize_vis(
     depth_clip: bool = True,
     init: VisBuffer | None = None,
     id_offset: int = 0,
+    origin=(0, 0),
 ) -> VisBuffer:
-    """Scan all triangles, exact edge tests at every pixel."""
+    """Scan all triangles, exact edge tests at every pixel.
+
+    ``origin`` is the global pixel coordinate of this buffer's top-left
+    corner — (0, 0) for single-device rendering; a (possibly traced)
+    per-shard offset for tile-parallel rendering (parallel/tiled.py).
+    All spec math (edge anchors, canonical depth tiles) uses global
+    coordinates, so a tiled render is bit-identical to a monolithic one.
+    """
     cmp_fn = _DEPTH_CMP[depth_compare]
     py, px = jnp.mgrid[0:height, 0:width]
-    px = px.astype(jnp.int32)
-    py = py.astype(jnp.int32)
+    px = px.astype(jnp.int32) + jnp.asarray(origin[0], jnp.int32)
+    py = py.astype(jnp.int32) + jnp.asarray(origin[1], jnp.int32)
     px_fp, py_fp = fp.pixel_center_fp(px, py)
     # Canonical depth-anchor grid (spec: 128-px tiles).
     anchor_x = (px // fp.DEPTH_TILE) * fp.DEPTH_TILE

@@ -159,15 +159,14 @@ class Renderer:
         self._in_frame = False
         draws = self._draws
         self._draws = []
-        key = self._cache_key(draws)
+        key = self._cache_key(draws) + (self._frame_clear[1],)
         program = self._program_cache.get(key)
         if program is None:
-            program = self._build_program(draws)
+            program = self._build_program(draws, self._frame_clear[1])
             self._program_cache[key] = program
         dyn = self._dynamic_args(draws)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        clear_depth_q = jnp.int32(round(self._frame_clear[1] * fp.DEPTH_ONE_Q))
-        color, depth_q, tri_id = program(dyn, clear_color, clear_depth_q)
+        color, depth_q, tri_id = program(dyn, clear_color)
         if self.config.debug:
             cnp = np.asarray(color)
             if not np.isfinite(cnp).all():
@@ -230,17 +229,24 @@ class Renderer:
             )
         return out
 
-    def _build_program(self, draws):
+    def _use_pallas(self) -> bool:
+        backend = self.config.raster_backend
+        if backend == "pallas":
+            return True
+        if backend == "xla":
+            return False
+        return self.device.platform not in ("cpu",)  # "auto"
+
+    def _build_program(self, draws, clear_depth: float = 1.0):
         cfg = self.config
+        clear_depth_q = jnp.int32(round(clear_depth * fp.DEPTH_ONE_Q))
         scale = 2 if cfg.msaa == 4 else 1
         rw, rh = cfg.width * scale, cfg.height * scale
         pipelines = [d.pipeline for d in draws]
         shaders = [shader_lib.get(p.shader) for p in pipelines]
-        mesh_templates = [
-            Mesh(attributes=d.mesh.attributes, indices=d.mesh.indices) for d in draws
-        ]
+        use_pallas = self._use_pallas()
 
-        def frame(dyn, clear_color, clear_depth_q):
+        def frame(dyn, clear_color):
             vis = VisBuffer(
                 tri_id=jnp.full((rh, rw), -1, jnp.int32),
                 depth_q=jnp.full((rh, rw), clear_depth_q),
@@ -260,17 +266,36 @@ class Renderer:
                 ts = setup_triangles(
                     clip_tri, rw, rh, cull_mode=pipe.cull_mode, front_face=pipe.front_face
                 )
-                vis = raster_xla.rasterize_vis(
-                    ts,
-                    rw,
-                    rh,
-                    depth_test=pipe.depth.test,
-                    depth_compare=pipe.depth.compare,
-                    depth_write=pipe.depth.write,
-                    depth_clip=pipe.depth.clip,
-                    init=vis,
-                    id_offset=offset,
-                )
+                if use_pallas:
+                    from .ops.raster_pallas import rasterize_vis_pallas
+
+                    vis = rasterize_vis_pallas(
+                        ts,
+                        rw,
+                        rh,
+                        depth_test=pipe.depth.test,
+                        depth_compare=pipe.depth.compare,
+                        depth_write=pipe.depth.write,
+                        depth_clip=pipe.depth.clip,
+                        depth_clear=clear_depth,
+                        init=None if i == 0 else vis,
+                        id_offset=offset,
+                        # Mosaic has no CPU target; tests on the CPU
+                        # backend run the kernel interpreted.
+                        interpret=self.device.platform == "cpu",
+                    )
+                else:
+                    vis = raster_xla.rasterize_vis(
+                        ts,
+                        rw,
+                        rh,
+                        depth_test=pipe.depth.test,
+                        depth_compare=pipe.depth.compare,
+                        depth_write=pipe.depth.write,
+                        depth_clip=pipe.depth.clip,
+                        init=vis,
+                        id_offset=offset,
+                    )
                 per_draw.append((ts, var_tri, offset, ts.valid.shape[0]))
                 offset += ts.valid.shape[0]
 

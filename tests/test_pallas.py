@@ -1,0 +1,107 @@
+"""Pallas tile-binned rasterizer vs the XLA exact path (interpret mode).
+
+Coverage and depth must be bit-identical; barycentrics agree to ~1e-4
+(the Pallas path derives them from clamped tile-anchored edge values).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import based_renderer_tpu as brt
+from based_renderer_tpu.models import demos
+from based_renderer_tpu.ops.binning import bin_triangles
+from based_renderer_tpu.ops.raster_pallas import rasterize_vis_pallas
+from based_renderer_tpu.ops.raster_xla import rasterize_vis
+from based_renderer_tpu.ops.setup import setup_triangles
+
+
+def random_clip(seed, n=24):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.5, 3.0, size=(n, 3, 1)).astype(np.float32)
+    xy = rng.uniform(-1.2, 1.2, size=(n, 3, 2)).astype(np.float32) * w
+    z = rng.uniform(0, 1, size=(n, 3, 1)).astype(np.float32) * w
+    return np.concatenate([xy, z, w], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("tile", [(128, 32), (128, 8), (64, 64)])
+def test_pallas_matches_xla(tile):
+    clip = random_clip(0)
+    W, H = 96, 64
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    vx = rasterize_vis(ts, W, H)
+    vp = rasterize_vis_pallas(ts, W, H, tile_w=tile[0], tile_h=tile[1], interpret=True)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
+    np.testing.assert_array_equal(np.asarray(vx.depth_q), np.asarray(vp.depth_q))
+    m = np.asarray(vx.tri_id) >= 0
+    for k in ("b0", "b1", "b2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(vx, k))[m], np.asarray(getattr(vp, k))[m], atol=2e-4
+        )
+
+
+def test_pallas_multidraw_init_chain():
+    """init= chaining across draws matches one big XLA pass."""
+    clip_a = random_clip(1, 10)
+    clip_b = random_clip(2, 14)
+    W, H = 96, 64
+    ts_a = setup_triangles(jnp.asarray(clip_a), W, H)
+    ts_b = setup_triangles(jnp.asarray(clip_b), W, H)
+    # XLA: two chained passes.
+    vx = rasterize_vis(ts_a, W, H)
+    vx = rasterize_vis(ts_b, W, H, init=vx, id_offset=10)
+    # Pallas: clear + chained init.
+    vp = rasterize_vis_pallas(ts_a, W, H, interpret=True)
+    vp = rasterize_vis_pallas(ts_b, W, H, interpret=True, init=vp, id_offset=10)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
+    np.testing.assert_array_equal(np.asarray(vx.depth_q), np.asarray(vp.depth_q))
+
+
+def test_binning_covers_bboxes():
+    """Every valid triangle appears in exactly the tiles its bbox covers."""
+    clip = random_clip(3, 12)
+    W, H = 96, 64
+    tw, th = 32, 16
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    binned = bin_triangles(ts, W, H, tile_w=tw, tile_h=th)
+    num_tx = -(-W // tw)
+    starts = np.asarray(binned.tile_start)
+    counts = np.asarray(binned.tile_count)
+    recs = np.asarray(binned.records)  # (RECORD_WIDTH, PADDED_PAIRS)
+    bbox = np.asarray(ts.bbox)
+    valid = np.asarray(ts.valid)
+    assert not bool(binned.overflowed)
+    # Reconstruct tile->tris map.
+    seen = {}
+    for tile in range(len(starts)):
+        ids = recs[13, starts[tile] : starts[tile] + counts[tile]]
+        seen[tile] = list(ids)
+        # Draw order preserved within a tile.
+        assert list(ids) == sorted(ids)
+    for t in range(clip.shape[0]):
+        if not valid[t]:
+            for tile, ids in seen.items():
+                assert t not in ids
+            continue
+        x0, y0, x1, y1 = bbox[t]
+        for ty in range(y0 // th, (y1 - 1) // th + 1):
+            for tx in range(x0 // tw, (x1 - 1) // tw + 1):
+                assert t in seen[ty * num_tx + tx], (t, tx, ty)
+
+
+def test_renderer_pallas_backend_matches():
+    """The full Renderer with raster_backend='pallas' (interpreted on CPU)
+    matches the XLA backend bit-for-bit in coverage/depth."""
+    cfg_x = brt.RendererConfig(width=96, height=64, raster_backend="xla")
+    cfg_p = brt.RendererConfig(width=96, height=64, raster_backend="pallas")
+    rx = brt.Renderer(cfg_x)
+    rp = brt.Renderer(cfg_p)
+    pipe, mesh_x, uniforms, _ = demos.cube_demo(rx)
+    _, mesh_p, _, _ = demos.cube_demo(rp)
+    u = uniforms(0.5)
+    fx = rx.render_frame(pipe, mesh_x, u)
+    fp_ = rp.render_frame(pipe, mesh_p, u)
+    np.testing.assert_array_equal(np.asarray(fx.tri_id), np.asarray(fp_.tri_id))
+    np.testing.assert_array_equal(np.asarray(fx.depth_q), np.asarray(fp_.depth_q))
+    np.testing.assert_allclose(fx.color_np(), fp_.color_np(), atol=1e-4)

@@ -1,0 +1,84 @@
+"""Native C++ runtime: arena allocator, pacer, image IO, present ring."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from based_renderer_tpu import runtime
+
+pytestmark = pytest.mark.skipif(not runtime.available(), reason="native runtime not built")
+
+
+def test_arena_batched_layout():
+    a = runtime.Arena()
+    i0 = a.request(100, alignment=64)
+    i1 = a.request(1000, alignment=64)
+    i2 = a.request(17, alignment=4096)
+    a.finalize()
+    # Two alignment classes -> two backing groups (the memory-type
+    # grouping of vulkan_allocate).
+    assert a.num_groups == 2
+    v0 = a.view(i0, (100,))
+    v1 = a.view(i1, (1000,))
+    v2 = a.view(i2, (17,))
+    v0[:] = 1
+    v1[:] = 2
+    v2[:] = 3
+    # Distinct, non-overlapping buffers with requested alignment.
+    assert v0.ctypes.data % 64 == 0
+    assert v2.ctypes.data % 4096 == 0
+    assert (v0 == 1).all() and (v1 == 2).all() and (v2 == 3).all()
+    assert a.total_bytes >= 1117
+
+
+def test_arena_rejects_bad_requests():
+    a = runtime.Arena()
+    with pytest.raises(ValueError):
+        a.request(10, alignment=48)  # not a power of two
+    a.request(10)
+    a.finalize()
+    with pytest.raises(ValueError):
+        a.request(10)  # after finalize
+
+
+def test_pacer_ticks():
+    p = runtime.NativePacer(fixed_dt=0.001, vsync=True)
+    t = 0.0
+    for _ in range(5):
+        t = p.tick()
+    assert abs(t - 0.005) < 1e-9
+
+
+def test_f32_to_u8_matches_numpy():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-0.2, 1.2, (16, 16, 4)).astype(np.float32)
+    got = runtime.f32_to_u8(img)
+    want = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_write_png_roundtrip():
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (20, 30, 4), dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.png")
+        runtime.write_png(path, img)
+        back = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_present_ring_writes_frames():
+    with tempfile.TemporaryDirectory() as d:
+        ring = runtime.PresentRing(32, 16, depth=2, out_dir=d)
+        frames = [np.full((16, 32, 4), i / 4, np.float32) for i in range(4)]
+        for f in frames:
+            ring.submit(f)
+        ring.flush()
+        assert ring.presented == 4
+        files = sorted(os.listdir(d))
+        assert files == [f"frame_{i:06d}.png" for i in range(4)]
+        ring.close()
