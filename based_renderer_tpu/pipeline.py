@@ -88,6 +88,11 @@ class Pipeline:
     front_face: str = "ccw"
     blend: BlendState = field(default_factory=BlendState)
     perspective_correct: bool = True
+    # Near-plane (w) clipping of partially-behind triangles (ops/clip.py).
+    # Always on in Vulkan; optional here because it doubles the triangle
+    # buffer through setup/binning — scenes that guarantee in-front
+    # geometry (e.g. benchmarks) may disable it.
+    near_clip: bool = True
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.

@@ -263,6 +263,10 @@ class Renderer:
                 attrs, tri_idx = expand_instances(mesh, d["instances"])
                 clip, varyings = shaders[i].vertex(attrs, d["uniforms"])
                 clip_tri, var_tri = gather_triangles(clip, varyings, tri_idx)
+                if pipe.near_clip:
+                    from .ops.clip import clip_near
+
+                    clip_tri, var_tri = clip_near(clip_tri, var_tri)
                 ts = setup_triangles(
                     clip_tri, rw, rh, cull_mode=pipe.cull_mode, front_face=pipe.front_face
                 )
