@@ -23,13 +23,20 @@ int records (int32 x RECORD_WIDTH):
   13     tri_id     global triangle id (draw-order)
   14..15 (pad / reserved)
 
-float records (f32 x FRECORD_WIDTH) — barycentric planes, evaluated as
-b = b_o + db_dx*ix + db_dy*iy (affine in screen space; accurate for any
+float records (f32, width 6 + 3*(1 + K) for K varying channels) — affine
+screen-space planes q(p) = q_o + dq_dx*ix + dq_dy*iy (accurate for any
 triangle size, unlike edge-value renormalization which saturates with the
 int32 clamp on >2048px triangles):
-  0..2   b0_o, db0dx, db0dy    weight of v0 at tile origin + gradients
-  3..5   b1_o, db1dx, db1dy    weight of v1 (b2 = 1 - b0 - b1)
-  6..7   (pad)
+  0..2   b0 plane      barycentric weight of v0
+  3..5   b1 plane      weight of v1 (b2 = 1 - b0 - b1)
+  6..8   invw plane    interpolated 1/clip_w (perspective correction)
+  9..    K channel planes, 3 floats each — the *varying interpolators*:
+         for perspective-correct attributes the plane carries attr/w and
+         the per-pixel value is channel/invw; non-perspective planes
+         carry attr directly.  Interpolating attributes in the raster
+         kernel replaces the per-pixel vertex-data gathers of classic
+         deferred shading — gathers are pathologically slow on TPU
+         (no hardware gather unit), planes are pure VPU math.
 """
 
 from __future__ import annotations
@@ -43,7 +50,17 @@ from . import fixedpoint as fp
 from .setup import TriSetup, depth_tile_anchor
 
 RECORD_WIDTH = 16
-FRECORD_WIDTH = 8
+FRECORD_BASE = 9  # b0 plane, b1 plane, invw plane
+
+
+def frecord_width(num_channels: int) -> int:
+    # Rounded up to a multiple of 8: f32 sublane tiling requires slices
+    # of (W, 128) HBM records to have W % 8 == 0.
+    w = FRECORD_BASE + 3 * num_channels
+    return (w + 7) // 8 * 8
+
+
+FRECORD_WIDTH = frecord_width(0)  # no-varyings layout
 
 
 SEGMENT_ALIGN = 128  # per-tile segments start at multiples of this (the
@@ -62,11 +79,23 @@ class BinnedTriangles(NamedTuple):
     overflowed: jnp.ndarray  # () bool — true pair count exceeded MAXPAIRS
 
 
-def _pair_records(ts: TriSetup, tri, tile_x, tile_y, tile_w: int, tile_h: int, id_offset=0):
+def _pair_records(
+    ts: TriSetup,
+    tri,
+    tile_x,
+    tile_y,
+    tile_w: int,
+    tile_h: int,
+    id_offset=0,
+    channels=None,
+    perspective: bool = True,
+):
     """Build raster records for (tile, tri) pairs (vectorized).
 
     tri, tile_x, tile_y: int32 (P,) arrays (tri may be out of range for
     padding rows; caller overwrites those rows' validity via sorting).
+    channels: optional (T, 3, K) f32 per-vertex varying values flattened
+    across attributes; emitted as K interpolation planes per pair.
     """
     t = jnp.clip(tri, 0, ts.valid.shape[0] - 1)
     ox = tile_x * tile_w  # tile-origin pixel
@@ -125,19 +154,31 @@ def _pair_records(ts: TriSetup, tri, tile_x, tile_y, tile_w: int, tile_h: int, i
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     sc = jnp.float32(fp.SUBPIXEL_SCALE)
-    frec = jnp.stack(
-        [
-            e_origin_f[:, 1] * inv_area,
-            af[:, 1] * sc * inv_area,
-            bf[:, 1] * sc * inv_area,
-            e_origin_f[:, 2] * inv_area,
-            af[:, 2] * sc * inv_area,
-            bf[:, 2] * sc * inv_area,
-            jnp.zeros_like(inv_area),
-            jnp.zeros_like(inv_area),
-        ],
-        axis=-1,
-    )
+    # Barycentric planes of v0 and v1 (b2 = 1 - b0 - b1 in-kernel).
+    b0p = (e_origin_f[:, 1] * inv_area, af[:, 1] * sc * inv_area, bf[:, 1] * sc * inv_area)
+    b1p = (e_origin_f[:, 2] * inv_area, af[:, 2] * sc * inv_area, bf[:, 2] * sc * inv_area)
+    b2p = tuple(-(x0 + x1) for x0, x1 in zip(b0p, b1p))
+    b2p = (b2p[0] + 1.0, b2p[1], b2p[2])
+
+    def plane_of(q):
+        """Affine plane of per-vertex quantity q (P, 3) via bary planes."""
+        return tuple(
+            q[:, 0] * b0p[i] + q[:, 1] * b1p[i] + q[:, 2] * b2p[i] for i in range(3)
+        )
+
+    iw = ts.inv_w[t]  # (P, 3)
+    iwp = plane_of(iw)
+    cols = list(b0p) + list(b1p) + list(iwp)
+    if channels is not None:
+        ch = channels[t]  # (P, 3, K)
+        if perspective:
+            ch = ch * iw[:, :, None]
+        for k in range(ch.shape[-1]):
+            cols.extend(plane_of(ch[:, :, k]))
+    nch = 0 if channels is None else channels.shape[-1]
+    while len(cols) < frecord_width(nch):  # sublane-alignment padding
+        cols.append(jnp.zeros_like(inv_area))
+    frec = jnp.stack(cols, axis=-1)
     return rec, frec
 
 
@@ -155,6 +196,8 @@ def bin_triangles(
     tile_h: int = 32,
     max_pairs: int | None = None,
     id_offset: int = 0,
+    channels=None,
+    perspective: bool = True,
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -174,10 +217,11 @@ def bin_triangles(
     if max_pairs is None:
         max_pairs = max(4 * num_tris, 1024)
     padded_pairs = max_pairs + SEGMENT_ALIGN * num_tiles
+    fw = frecord_width(0 if channels is None else channels.shape[-1])
     if num_tris == 0:
         return BinnedTriangles(
             records=jnp.zeros((RECORD_WIDTH, padded_pairs), jnp.int32),
-            frecords=jnp.zeros((FRECORD_WIDTH, padded_pairs), jnp.float32),
+            frecords=jnp.zeros((fw, padded_pairs), jnp.float32),
             tile_start=jnp.zeros((num_tiles,), jnp.int32),
             tile_count=jnp.zeros((num_tiles,), jnp.int32),
             num_pairs=jnp.int32(0),
@@ -218,7 +262,15 @@ def bin_triangles(
     order = jnp.argsort(tile_id, stable=True)
     tile_id_sorted = tile_id[order]
     records, frecords = _pair_records(
-        ts, tri[order], tile_x[order], tile_y[order], tile_w, tile_h, id_offset
+        ts,
+        tri[order],
+        tile_x[order],
+        tile_y[order],
+        tile_w,
+        tile_h,
+        id_offset,
+        channels=channels,
+        perspective=perspective,
     )
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -247,7 +299,7 @@ def bin_triangles(
         .set(records.T, mode="drop")
     )
     frecords_out = (
-        jnp.zeros((FRECORD_WIDTH, padded_pairs), jnp.float32)
+        jnp.zeros((fw, padded_pairs), jnp.float32)
         .at[:, newpos]
         .set(frecords.T, mode="drop")
     )

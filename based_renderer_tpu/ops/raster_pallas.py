@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import fixedpoint as fp
-from .binning import FRECORD_WIDTH, RECORD_WIDTH, bin_triangles
+from .binning import FRECORD_BASE, RECORD_WIDTH, bin_triangles, frecord_width
 from .raster_xla import VisBuffer
 from .setup import TriSetup
 
@@ -71,12 +71,20 @@ def _raster_kernel(
     depth_clip: bool,
     clear_depth_q: int,
     has_init: bool,
+    num_channels: int,
 ):
-    # rest = [init blocks x5 if has_init] + outputs x5 + scratch x7.
+    # rest = [init blocks x5 if has_init] + outputs (5 + 1 invw +
+    # num_channels) + scratch (2 chunks + 5 tiles + invw + channels + 2 sems).
+    nout = 6 + num_channels
     ninit = 5 if has_init else 0
     init_refs = rest[:ninit]
-    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref = rest[ninit : ninit + 5]
-    chunk_vmem, fchunk_vmem, zs, ids, b0s, b1s, b2s, sems, fsems = rest[ninit + 5 :]
+    outs = rest[ninit : ninit + nout]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
+    chan_refs = outs[6:]
+    scratch = rest[ninit + nout :]
+    chunk_vmem, fchunk_vmem, zs, ids, b0s, b1s, b2s, iws = scratch[:8]
+    chs = scratch[8 : 8 + num_channels]
+    sems, fsems = scratch[8 + num_channels :]
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -100,6 +108,9 @@ def _raster_kernel(
         b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b2s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    iws[:] = jnp.ones((tile_h, tile_w), jnp.float32)
+    for ch in chs:
+        ch[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
     ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
     iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
@@ -163,8 +174,12 @@ def _raster_kernel(
 
                 ixf = ix.astype(jnp.float32)
                 iyf = iy.astype(jnp.float32)
-                nb0 = ff(0) + ff(1) * ixf + ff(2) * iyf
-                nb1 = ff(3) + ff(4) * ixf + ff(5) * iyf
+
+                def plane(off):
+                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+
+                nb0 = plane(0)
+                nb1 = plane(3)
                 nb2 = (1.0 - nb0) - nb1
                 if depth_write:
                     zs[:] = jnp.where(passes, z, zs[:])
@@ -172,6 +187,9 @@ def _raster_kernel(
                 b0s[:] = jnp.where(passes, nb0, b0s[:])
                 b1s[:] = jnp.where(passes, nb1, b1s[:])
                 b2s[:] = jnp.where(passes, nb2, b2s[:])
+                iws[:] = jnp.where(passes, plane(6), iws[:])
+                for ci, ch in enumerate(chs):
+                    ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
 
             return 0
 
@@ -185,6 +203,9 @@ def _raster_kernel(
     b0_ref[:] = b0s[:]
     b1_ref[:] = b1s[:]
     b2_ref[:] = b2s[:]
+    invw_ref[:] = iws[:]
+    for cr, ch in zip(chan_refs, chs):
+        cr[:] = ch[:]
 
 
 @functools.partial(
@@ -201,6 +222,7 @@ def _raster_kernel(
         "depth_clear",
         "max_pairs",
         "interpret",
+        "perspective",
     ),
 )
 def rasterize_vis_pallas(
@@ -218,13 +240,20 @@ def rasterize_vis_pallas(
     interpret: bool = False,
     init: VisBuffer | None = None,
     id_offset: int = 0,
-) -> VisBuffer:
+    channels=None,
+    perspective: bool = True,
+):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
     The framebuffer is internally padded up to tile multiples and cropped
     on return.  Coverage and depth are bit-identical to the XLA path and
     the CPU oracle.  Pass ``init`` to continue a previous draw's
     visibility buffer (multi-draw frames).
+
+    channels: optional (T, 3, K) per-vertex varying values; the kernel
+    interpolates them in-raster (perspective-correct when ``perspective``)
+    and returns (vis, interp (K, H, W), invw (H, W)) instead of just vis —
+    the gather-free fast path for deferred shading on TPU.
     """
     pad_w = -(-width // tile_w) * tile_w
     pad_h = -(-height // tile_h) * tile_h
@@ -232,8 +261,19 @@ def rasterize_vis_pallas(
     num_ty = pad_h // tile_h
     clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
     has_init = init is not None
+    num_ch = 0 if channels is None else channels.shape[-1]
 
-    binned = bin_triangles(ts, width, height, tile_w, tile_h, max_pairs, id_offset)
+    binned = bin_triangles(
+        ts,
+        width,
+        height,
+        tile_w,
+        tile_h,
+        max_pairs,
+        id_offset,
+        channels=channels,
+        perspective=perspective,
+    )
     # Segments are SEGMENT_ALIGN-padded by the binner, so CHUNK-rounded
     # DMA slices stay in bounds.
     records = binned.records
@@ -250,6 +290,7 @@ def rasterize_vis_pallas(
         depth_clip=depth_clip,
         clear_depth_q=clear_q,
         has_init=has_init,
+        num_channels=num_ch,
     )
 
     tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
@@ -266,19 +307,20 @@ def rasterize_vis_pallas(
         ]
         in_specs += [tile_block() for _ in range(5)]
 
+    nout = 6 + num_ch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_ty, num_tx),
         in_specs=in_specs,
-        out_specs=[tile_block() for _ in range(5)],
+        out_specs=[tile_block() for _ in range(nout)],
         scratch_shapes=[
             pltpu.SMEM((2, RECORD_WIDTH, CHUNK), jnp.int32),
-            pltpu.SMEM((2, FRECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.SMEM((2, frecord_width(num_ch), CHUNK), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),
-            pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w), jnp.float32),
+        ]
+        + [pltpu.VMEM((tile_h, tile_w), jnp.float32) for _ in range(4 + num_ch)]
+        + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -287,23 +329,26 @@ def rasterize_vis_pallas(
     out_shape = [
         jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
         jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
-    ]
+    ] + [jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32) for _ in range(nout - 2)]
 
-    tri_id, depth_q, b0, b1, b2 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
+    tri_id, depth_q, b0, b1, b2, invw = outs[:6]
+    chan = outs[6:]
 
     crop = lambda x: x[:height, :width]
-    return VisBuffer(
+    vis = VisBuffer(
         tri_id=crop(tri_id),
         depth_q=crop(depth_q),
         b0=crop(b0),
         b1=crop(b1),
         b2=crop(b2),
     )
+    if channels is None:
+        return vis
+    interp = jnp.stack([crop(c) for c in chan])
+    return vis, interp, crop(invw)

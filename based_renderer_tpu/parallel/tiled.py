@@ -194,6 +194,10 @@ class TiledRenderer:
         attrs, tri_idx = expand_instances(scene_mesh, instances)
         clip, vary = shd.vertex(attrs, uniforms)
         clip_tri, var_tri = gather_triangles(clip, vary, tri_idx)
+        if pipeline.near_clip:
+            from ..ops.clip import clip_near
+
+            clip_tri, var_tri = clip_near(clip_tri, var_tri)
         if self.geometry_axis:
             ng = self.mesh.shape[self.geometry_axis]
             t = clip_tri.shape[0]

@@ -237,7 +237,7 @@ class Renderer:
             return False
         return self.device.platform not in ("cpu",)  # "auto"
 
-    def _build_program(self, draws, clear_depth: float = 1.0):
+    def _build_program(self, draws, clear_depth: float = 1.0, jit: bool = True):
         cfg = self.config
         clear_depth_q = jnp.int32(round(clear_depth * fp.DEPTH_ONE_Q))
         scale = 2 if cfg.msaa == 4 else 1
@@ -270,10 +270,19 @@ class Renderer:
                 ts = setup_triangles(
                     clip_tri, rw, rh, cull_mode=pipe.cull_mode, front_face=pipe.front_face
                 )
+                interp = invw = None
+                var_keys = sorted(var_tri)
                 if use_pallas:
                     from .ops.raster_pallas import rasterize_vis_pallas
 
-                    vis = rasterize_vis_pallas(
+                    # Flatten varyings into channels so the kernel
+                    # interpolates them in-raster (no per-pixel gathers).
+                    channels = (
+                        jnp.concatenate([var_tri[k] for k in var_keys], axis=-1)
+                        if var_keys
+                        else None
+                    )
+                    out = rasterize_vis_pallas(
                         ts,
                         rw,
                         rh,
@@ -284,10 +293,16 @@ class Renderer:
                         depth_clear=clear_depth,
                         init=None if i == 0 else vis,
                         id_offset=offset,
+                        channels=channels,
+                        perspective=pipe.perspective_correct,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
                         interpret=self.device.platform == "cpu",
                     )
+                    if channels is None:
+                        vis = out
+                    else:
+                        vis, interp, invw = out
                 else:
                     vis = raster_xla.rasterize_vis(
                         ts,
@@ -300,26 +315,46 @@ class Renderer:
                         init=vis,
                         id_offset=offset,
                     )
-                per_draw.append((ts, var_tri, offset, ts.valid.shape[0]))
+                per_draw.append((ts, var_tri, offset, ts.valid.shape[0], interp, invw))
                 offset += ts.valid.shape[0]
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
             color = jnp.broadcast_to(clear_color, (rh, rw, 4)).astype(jnp.float32)
             for i, d in enumerate(dyn):
-                ts, var_tri, off, ntri = per_draw[i]
+                ts, var_tri, off, ntri, interp, invw = per_draw[i]
                 pipe = pipelines[i]
                 mask = (vis.tri_id >= off) & (vis.tri_id < off + ntri)
                 local = jnp.where(mask, vis.tri_id - off, -1)
                 vis_local = vis._replace(tri_id=local)
-                rgba = raster_xla.shade_deferred(
-                    vis_local,
-                    ts,
-                    var_tri,
-                    shaders[i].fragment,
-                    d["uniforms"],
-                    background=color,
-                    perspective=pipe.perspective_correct,
-                )
+                if interp is not None:
+                    # Gather-free shading: attributes were interpolated by
+                    # the raster kernel as screen-space planes.
+                    frag = {}
+                    if pipe.perspective_correct:
+                        denom = jnp.where(invw == 0, jnp.float32(1.0), invw)
+                        interp_vals = interp / denom[None]
+                    else:
+                        interp_vals = interp
+                    c0 = 0
+                    for k in sorted(var_tri):
+                        c = var_tri[k].shape[-1]
+                        frag[k] = jnp.moveaxis(interp_vals[c0 : c0 + c], 0, -1)
+                        c0 += c
+                    frag["tri_id"] = vis_local.tri_id
+                    frag["depth"] = vis_local.depth
+                    frag["bary"] = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)
+                    rgba = shaders[i].fragment(frag, d["uniforms"])
+                    rgba = jnp.where(mask[..., None], rgba, color)
+                else:
+                    rgba = raster_xla.shade_deferred(
+                        vis_local,
+                        ts,
+                        var_tri,
+                        shaders[i].fragment,
+                        d["uniforms"],
+                        background=color,
+                        perspective=pipe.perspective_correct,
+                    )
                 blended = _blend(rgba, color, pipe.blend)
                 color = jnp.where(mask[..., None], blended, color)
 
@@ -329,7 +364,64 @@ class Renderer:
                 resolved = color
             return resolved, vis.depth_q, vis.tri_id
 
-        return jax.jit(frame)
+        return jax.jit(frame) if jit else frame
+
+    # -- batched frame sequences -------------------------------------------
+
+    def render_sequence(
+        self,
+        pipeline: Pipeline,
+        mesh: Mesh,
+        uniforms_seq,
+        instances=None,
+        return_frames: bool = False,
+    ):
+        """Render N frames in ONE device dispatch (lax.scan over uniforms).
+
+        The reference submits one command buffer per frame and syncs with
+        fences (main.cpp:2141-2186); on TPU the far better schedule for
+        offline/animation rendering is a whole sequence as a single
+        compiled program — no per-frame host round trips at all.
+
+        Args:
+          uniforms_seq: pytree whose leaves are stacked per-frame arrays
+            with leading dimension N (e.g. {"model": (N, 4, 4), ...}).
+          return_frames: if True, also return all color frames
+            (N, H, W, 4) — memory-heavy; otherwise only per-frame
+            checksums.
+        Returns:
+          checksums (N,) f32, or (checksums, colors (N, H, W, 4)).
+        """
+        self.begin_frame()
+        # Validate via the normal draw path using frame 0's uniforms.
+        u0 = jax.tree.map(lambda x: x[0], uniforms_seq)
+        self.draw(pipeline, mesh, u0, instances)
+        draws = self._draws
+        self._draws, self._in_frame = [], False
+
+        key = ("seq", self._cache_key(draws), return_frames, self._frame_clear[1])
+        program = self._program_cache.get(key)
+        if program is None:
+            single = self._build_program(draws, self._frame_clear[1], jit=False)
+
+            def seq(dyn_seq, clear_color):
+                def body(carry, u):
+                    d = dict(dyn_seq[0])
+                    d["uniforms"] = u
+                    color, _depth_q, _tri_id = single([d], clear_color)
+                    out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
+                    return carry, out
+
+                _, outs = jax.lax.scan(body, 0, dyn_seq[0]["uniforms_seq"])
+                return outs
+
+            program = jax.jit(seq)
+            self._program_cache[key] = program
+
+        dyn = self._dynamic_args(draws)
+        dyn[0]["uniforms_seq"] = jax.tree.map(self._uniform_leaf, uniforms_seq)
+        clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
+        return program(dyn, clear_color)
 
     # -- introspection -----------------------------------------------------
 
