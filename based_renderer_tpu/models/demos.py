@@ -94,6 +94,9 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         depth=DepthState(test=True, write=True, compare="less"),
         cull_mode="back",
         front_face="ccw",
+        # Small cubes cover ~1-2 tiles each; a tight pair budget keeps
+        # the binner's gather traffic proportional to real work.
+        raster_pairs_factor=1.0,
     )
     aspect = r.config.width / r.config.height
     extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
@@ -119,6 +122,10 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         depth=DepthState(test=True, write=True, compare="less"),
         cull_mode="back",
         front_face="ccw",
+        # The procedural mesh is fully in front of the camera and its
+        # triangles are tiny: skip the clipper and budget ~1.5 pairs/tri.
+        near_clip=False,
+        raster_pairs_factor=1.5,
     )
     aspect = r.config.width / r.config.height
 

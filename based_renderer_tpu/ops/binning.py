@@ -3,14 +3,19 @@
 The reference's GPU does this in fixed-function hardware between vertex
 shading and fragment shading; on TPU it is an explicit vectorized XLA
 stage: expand each triangle into (tile, triangle) pairs over its clipped
-tile bounding box, sort pairs by tile (stable, preserving draw order),
-and precompute a flat per-pair raster record so the Pallas kernel's inner
-loop is pure int32 arithmetic with zero per-triangle setup.
+tile bounding box, order pairs by tile (stable in draw order), and emit a
+flat per-pair raster record stream so the Pallas kernel's inner loop is
+pure int32 arithmetic with zero per-triangle setup.
 
-Pair records are two arrays (int and float kept separate — Mosaic has no
-scalar bitcast, and exact int32 edge math must not round-trip through f32):
+Gathers are pathologically slow on TPU (no hardware gather unit), so the
+whole stage is built around exactly three wide gathers: a per-triangle
+*template* matrix is computed vectorized (one row per triangle, all
+edge/depth/plane quantities anchored at screen pixel (0, 0)), pair slots
+are mapped back to source triangles analytically (searchsorted, not
+scatter), and each output slot gathers its template row once and
+re-anchors to its tile origin with pure arithmetic.
 
-int records (int32 x RECORD_WIDTH):
+int records (int32 x RECORD_WIDTH), per (tile, tri) pair:
   0..2   eb0..eb2   edge values at the tile-origin pixel center, clamped
                     per the anchored-exactness proof, fill-rule bias
                     already folded in (covered iff all >= 0)
@@ -23,20 +28,15 @@ int records (int32 x RECORD_WIDTH):
   13     tri_id     global triangle id (draw-order)
   14..15 (pad / reserved)
 
-float records (f32, width 6 + 3*(1 + K) for K varying channels) — affine
-screen-space planes q(p) = q_o + dq_dx*ix + dq_dy*iy (accurate for any
-triangle size, unlike edge-value renormalization which saturates with the
-int32 clamp on >2048px triangles):
+float records (f32, width padded to a multiple of 8) — affine screen-space
+planes q(p) = q_o + dq_dx*ix + dq_dy*iy evaluated from the tile origin:
   0..2   b0 plane      barycentric weight of v0
   3..5   b1 plane      weight of v1 (b2 = 1 - b0 - b1)
   6..8   invw plane    interpolated 1/clip_w (perspective correction)
-  9..    K channel planes, 3 floats each — the *varying interpolators*:
-         for perspective-correct attributes the plane carries attr/w and
-         the per-pixel value is channel/invw; non-perspective planes
-         carry attr directly.  Interpolating attributes in the raster
-         kernel replaces the per-pixel vertex-data gathers of classic
-         deferred shading — gathers are pathologically slow on TPU
-         (no hardware gather unit), planes are pure VPU math.
+  9..    K channel planes, 3 floats each — the varying interpolators
+         (attr/w numerators when perspective-correct); interpolating
+         attributes in the raster kernel replaces classic deferred
+         shading's per-pixel vertex-data gathers.
 """
 
 from __future__ import annotations
@@ -62,7 +62,6 @@ def frecord_width(num_channels: int) -> int:
 
 FRECORD_WIDTH = frecord_width(0)  # no-varyings layout
 
-
 SEGMENT_ALIGN = 128  # per-tile segments start at multiples of this (the
 # Pallas kernel DMAs 128-record chunks, and Mosaic requires 128-aligned
 # offsets/shapes along the minor dimension)
@@ -72,114 +71,80 @@ class BinnedTriangles(NamedTuple):
     # Transposed field-major layout: minor dim is the pair index, so the
     # kernel's (W, 128) DMA slices are lane-aligned.
     records: jnp.ndarray  # (RECORD_WIDTH, PADDED_PAIRS) int32
-    frecords: jnp.ndarray  # (FRECORD_WIDTH, PADDED_PAIRS) float32
+    frecords: jnp.ndarray  # (frecord_width(K), PADDED_PAIRS) float32
     tile_start: jnp.ndarray  # (num_tiles,) int32 — 128-aligned segment start
     tile_count: jnp.ndarray  # (num_tiles,) int32 — true (unpadded) count
     num_pairs: jnp.ndarray  # () int32 — true pair count (pre-truncation)
     overflowed: jnp.ndarray  # () bool — true pair count exceeded MAXPAIRS
 
 
-def _pair_records(
-    ts: TriSetup,
-    tri,
-    tile_x,
-    tile_y,
-    tile_w: int,
-    tile_h: int,
-    id_offset=0,
-    channels=None,
-    perspective: bool = True,
-):
-    """Build raster records for (tile, tri) pairs (vectorized).
+def _triangle_templates(ts: TriSetup, id_offset, channels, perspective):
+    """Per-triangle record templates, all screen-origin anchored.
 
-    tri, tile_x, tile_y: int32 (P,) arrays (tri may be out of range for
-    padding rows; caller overwrites those rows' validity via sorting).
-    channels: optional (T, 3, K) f32 per-vertex varying values flattened
-    across attributes; emitted as K interpolation planes per pair.
+    Returns (ti, tf): int template (T, TI_W) and float template (T, TF_W).
+    int template columns:
+      0..5   A0..A2, B0..B2 (raw edge coefficients)
+      6..11  E_origin i64 pairs (hi0, lo0, hi1, lo1, hi2, lo2): exact
+             biased edge values at the pixel-(0,0) center
+      12,13  dzdx_q, dzdy_q
+      14     zshift
+      15     tri_id (+ offset)
+      16,17  zq0, (x0f, y0f packed? no) —
+      16     zq0
+      17     x0f
+      18     y0f
+    float template columns:
+      0, 1   gx, gy (depth plane gradients, LSB/fp-unit)
+      2..    planes: [b0 (p00, dx, dy), b1, invw, channels...] anchored at
+             the pixel-(0,0) center
     """
-    t = jnp.clip(tri, 0, ts.valid.shape[0] - 1)
-    ox = tile_x * tile_w  # tile-origin pixel
-    oy = tile_y * tile_h
-    ox_fp, oy_fp = fp.pixel_center_fp(ox, oy)
-
-    # Exact edge values at the tile origin, clamped (sign-exact for any
-    # pixel within 128px of the anchor), bias folded in.
-    xf = ts.xf[t]  # (P, 3)
-    yf = ts.yf[t]
-    a = ts.a[t]
-    b = ts.b[t]
-    e = fp.edge_at_point_exact(xf, yf, a, b, ox_fp[:, None], oy_fp[:, None])
-    e0 = fp.i64_clamp_to_i32(e, -fp.ANCHOR_CLAMP, fp.ANCHOR_CLAMP) + ts.bias[t]
-
-    # Depth plane value at the tile origin: canonical-anchor evaluation
-    # (spec) stepped to the tile origin in exact int32.
-    can_x = (ox // fp.DEPTH_TILE) * fp.DEPTH_TILE
-    can_y = (oy // fp.DEPTH_TILE) * fp.DEPTH_TILE
-    z_can = depth_tile_anchor(
-        ts.zq[t, 0], ts.xf[t, 0], ts.yf[t, 0], ts.gx[t], ts.gy[t], ts.zshift[t], can_x, can_y
+    num_tris = ts.valid.shape[0]
+    a, b = ts.a, ts.b  # (T, 3)
+    origin_fp = jnp.int32(fp.HALF_PIXEL)
+    e = fp.edge_at_point_exact(
+        ts.xf, ts.yf, a, b, jnp.full((num_tris, 1), origin_fp), jnp.full((num_tris, 1), origin_fp)
     )
-    dzx = ts.dzdx_q[t]
-    dzy = ts.dzdy_q[t]
-    zo = z_can + dzx * (ox - can_x) + dzy * (oy - can_y)
+    # Fold the fill-rule bias into the exact origin value.
+    e = fp.i64_add(e, fp.i64_from_i32(ts.bias))
 
-    scale = jnp.int32(fp.SUBPIXEL_SCALE)
-    zero = jnp.zeros_like(t)
-    rec = jnp.stack(
-        [
-            e0[:, 0],
-            e0[:, 1],
-            e0[:, 2],
-            a[:, 0] * scale,
-            a[:, 1] * scale,
-            a[:, 2] * scale,
-            b[:, 0] * scale,
-            b[:, 1] * scale,
-            b[:, 2] * scale,
-            zo,
-            dzx,
-            dzy,
-            ts.zshift[t],
-            t + jnp.int32(id_offset),
-            zero,
-            zero,
-        ],
-        axis=-1,
-    )
+    ti_cols = [a[:, i] for i in range(3)] + [b[:, i] for i in range(3)]
+    for i in range(3):
+        ti_cols += [e[0][:, i], e[1][:, i]]
+    ti_cols += [
+        ts.dzdx_q,
+        ts.dzdy_q,
+        ts.zshift,
+        jnp.arange(num_tris, dtype=jnp.int32) + jnp.int32(id_offset),
+        ts.zq[:, 0],
+        ts.xf[:, 0],
+        ts.yf[:, 0],
+    ]
+    ti = jnp.stack(ti_cols, axis=-1)
 
-    # Barycentric planes (f32): weight of v0 comes from edge 1, v1 from
-    # edge 2 (see setup.barycentrics_f32); exact edge value at the tile
-    # origin converted via the deterministic i64 -> f32 split.
-    inv_area = ts.inv_area[t]
-    e_origin_f = _i64_to_f32_pair(e)
+    # Barycentric planes anchored at the pixel-(0,0) center, from the
+    # exact origin edge values (un-biased is unnecessary: bias shifts E by
+    # at most 1 fp unit ~ 1e-7 of a pixel of bary error).
+    inv_area = ts.inv_area
+    ef = _i64_to_f32_pair(e)
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     sc = jnp.float32(fp.SUBPIXEL_SCALE)
-    # Barycentric planes of v0 and v1 (b2 = 1 - b0 - b1 in-kernel).
-    b0p = (e_origin_f[:, 1] * inv_area, af[:, 1] * sc * inv_area, bf[:, 1] * sc * inv_area)
-    b1p = (e_origin_f[:, 2] * inv_area, af[:, 2] * sc * inv_area, bf[:, 2] * sc * inv_area)
-    b2p = tuple(-(x0 + x1) for x0, x1 in zip(b0p, b1p))
-    b2p = (b2p[0] + 1.0, b2p[1], b2p[2])
+    b0p = (ef[:, 1] * inv_area, af[:, 1] * sc * inv_area, bf[:, 1] * sc * inv_area)
+    b1p = (ef[:, 2] * inv_area, af[:, 2] * sc * inv_area, bf[:, 2] * sc * inv_area)
+    b2p = (1.0 - (b0p[0] + b1p[0]), -(b0p[1] + b1p[1]), -(b0p[2] + b1p[2]))
 
-    def plane_of(q):
-        """Affine plane of per-vertex quantity q (P, 3) via bary planes."""
-        return tuple(
-            q[:, 0] * b0p[i] + q[:, 1] * b1p[i] + q[:, 2] * b2p[i] for i in range(3)
-        )
+    def plane_of(q):  # (T, 3) per-vertex values -> plane triple
+        return tuple(q[:, 0] * b0p[i] + q[:, 1] * b1p[i] + q[:, 2] * b2p[i] for i in range(3))
 
-    iw = ts.inv_w[t]  # (P, 3)
-    iwp = plane_of(iw)
-    cols = list(b0p) + list(b1p) + list(iwp)
+    iw = ts.inv_w
+    tf_cols = [ts.gx, ts.gy]
+    tf_cols += list(b0p) + list(b1p) + list(plane_of(iw))
     if channels is not None:
-        ch = channels[t]  # (P, 3, K)
-        if perspective:
-            ch = ch * iw[:, :, None]
+        ch = channels * iw[:, :, None] if perspective else channels
         for k in range(ch.shape[-1]):
-            cols.extend(plane_of(ch[:, :, k]))
-    nch = 0 if channels is None else channels.shape[-1]
-    while len(cols) < frecord_width(nch):  # sublane-alignment padding
-        cols.append(jnp.zeros_like(inv_area))
-    frec = jnp.stack(cols, axis=-1)
-    return rec, frec
+            tf_cols.extend(plane_of(ch[:, :, k]))
+    tf = jnp.stack(tf_cols, axis=-1)
+    return ti, tf
 
 
 def _i64_to_f32_pair(e):
@@ -201,10 +166,9 @@ def bin_triangles(
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
-    Tile sizes must divide 128 in y and be 128 in x... more precisely the
-    anchored-exactness proofs require every pixel of a tile to be within
-    128px of both the tile origin and its canonical 128-grid anchor, so
-    tile_w and tile_h must each divide 128 (or equal 128).
+    The anchored-exactness proofs require every pixel of a tile to be
+    within 128px of both the tile origin and its canonical 128-grid
+    anchor, so tile_w and tile_h must each divide 128 (or equal 128).
     """
     if 128 % tile_w and tile_w != 128:
         raise ValueError("tile_w must divide 128")
@@ -228,27 +192,20 @@ def bin_triangles(
             overflowed=jnp.bool_(False),
         )
 
-    # Tile-space bbox (inclusive) of each valid triangle.
+    # ---- pair expansion (tri-major, draw order) --------------------------
     x0 = ts.bbox[:, 0] // tile_w
     y0 = ts.bbox[:, 1] // tile_h
     x1 = (ts.bbox[:, 2] - 1) // tile_w
     y1 = (ts.bbox[:, 3] - 1) // tile_h
     bw = jnp.where(ts.valid, x1 - x0 + 1, 0)
     bh = jnp.where(ts.valid, y1 - y0 + 1, 0)
-    k = bw * bh  # tiles covered per triangle
+    k = bw * bh
 
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(k, dtype=jnp.int32)])
     total = offsets[-1]
     overflowed = total > max_pairs
 
-    # Expand: pair p belongs to triangle tri[p], covering its (p-offset)-th
-    # bbox tile in row-major order.
-    tri = jnp.repeat(
-        jnp.arange(num_tris, dtype=jnp.int32),
-        k,
-        total_repeat_length=max_pairs,
-    )
-    # Rows beyond `total` repeat the last triangle; mark them invalid.
+    tri = jnp.repeat(jnp.arange(num_tris, dtype=jnp.int32), k, total_repeat_length=max_pairs)
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = pair_idx < total
     seq = pair_idx - offsets[tri]
@@ -261,51 +218,96 @@ def bin_triangles(
     # the depth-tie semantics of the sequential rasterizer are preserved.
     order = jnp.argsort(tile_id, stable=True)
     tile_id_sorted = tile_id[order]
-    records, frecords = _pair_records(
-        ts,
-        tri[order],
-        tile_x[order],
-        tile_y[order],
-        tile_w,
-        tile_h,
-        id_offset,
-        channels=channels,
-        perspective=perspective,
-    )
+    tri_sorted = tri[order]
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     sort_start = jnp.searchsorted(tile_id_sorted, tile_range, side="left").astype(jnp.int32)
     sort_end = jnp.searchsorted(tile_id_sorted, tile_range, side="right").astype(jnp.int32)
     count = sort_end - sort_start
-
-    # Re-pack each tile's segment at a SEGMENT_ALIGN-aligned start so the
-    # kernel's chunk DMAs have aligned offsets.
     padded_count = (count + SEGMENT_ALIGN - 1) // SEGMENT_ALIGN * SEGMENT_ALIGN
     tile_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count, dtype=jnp.int32)[:-1]]
     )
-    pair_valid = tile_id_sorted < num_tiles
-    rank = jnp.arange(max_pairs, dtype=jnp.int32) - sort_start[
-        jnp.clip(tile_id_sorted, 0, num_tiles - 1)
+
+    # ---- slot -> source mapping (gather, not scatter) --------------------
+    slot = jnp.arange(padded_pairs, dtype=jnp.int32)
+    slot_tile = jnp.clip(
+        jnp.searchsorted(tile_start, slot, side="right").astype(jnp.int32) - 1,
+        0,
+        num_tiles - 1,
+    )
+    rank = slot - tile_start[slot_tile]
+    slot_valid = rank < count[slot_tile]
+    src = jnp.clip(sort_start[slot_tile] + rank, 0, max_pairs - 1)
+    t_slot = tri_sorted[src]  # triangle of each output slot
+    s_tile_x = slot_tile % num_tx
+    s_tile_y = slot_tile // num_tx
+
+    # ---- per-slot record assembly from the templates ---------------------
+    ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
+    ti_s = ti[t_slot]  # ONE wide int gather
+    tf_s = tf[t_slot]  # ONE wide f32 gather
+
+    ox = s_tile_x * tile_w  # tile-origin pixel
+    oy = s_tile_y * tile_h
+    ox16 = ox * jnp.int32(fp.SUBPIXEL_SCALE)
+    oy16 = oy * jnp.int32(fp.SUBPIXEL_SCALE)
+
+    a_s = [ti_s[:, i] for i in range(3)]
+    b_s = [ti_s[:, 3 + i] for i in range(3)]
+    eb = []
+    for i in range(3):
+        e64 = (ti_s[:, 6 + 2 * i], ti_s[:, 7 + 2 * i])
+        stepped = fp.i64_add(
+            fp.i64_add(e64, fp.i64_mul_i32(a_s[i], ox16)), fp.i64_mul_i32(b_s[i], oy16)
+        )
+        eb.append(fp.i64_clamp_to_i32(stepped, -fp.ANCHOR_CLAMP, fp.ANCHOR_CLAMP))
+
+    dzx = ti_s[:, 12]
+    dzy = ti_s[:, 13]
+    zshift = ti_s[:, 14]
+    tid = ti_s[:, 15]
+    zq0 = ti_s[:, 16]
+    x0f = ti_s[:, 17]
+    y0f = ti_s[:, 18]
+    gx = tf_s[:, 0]
+    gy = tf_s[:, 1]
+    can_x = (ox // fp.DEPTH_TILE) * fp.DEPTH_TILE
+    can_y = (oy // fp.DEPTH_TILE) * fp.DEPTH_TILE
+    z_can = depth_tile_anchor(zq0, x0f, y0f, gx, gy, zshift, can_x, can_y)
+    zo = z_can + dzx * (ox - can_x) + dzy * (oy - can_y)
+
+    invalid = ~slot_valid
+    # Invalid slots: make coverage impossible (eb0 very negative, steps 0).
+    neg = jnp.int32(-(1 << 30))
+    scale = jnp.int32(fp.SUBPIXEL_SCALE)
+    rec_cols = [
+        jnp.where(invalid, neg, eb[0]),
+        jnp.where(invalid, neg, eb[1]),
+        jnp.where(invalid, neg, eb[2]),
     ]
-    newpos = jnp.where(
-        pair_valid,
-        tile_start[jnp.clip(tile_id_sorted, 0, num_tiles - 1)] + rank,
-        jnp.int32(padded_pairs),  # out of bounds -> dropped by scatter
-    )
-    records_out = (
-        jnp.zeros((RECORD_WIDTH, padded_pairs), jnp.int32)
-        .at[:, newpos]
-        .set(records.T, mode="drop")
-    )
-    frecords_out = (
-        jnp.zeros((fw, padded_pairs), jnp.float32)
-        .at[:, newpos]
-        .set(frecords.T, mode="drop")
-    )
+    rec_cols += [jnp.where(invalid, 0, a_s[i] * scale) for i in range(3)]
+    rec_cols += [jnp.where(invalid, 0, b_s[i] * scale) for i in range(3)]
+    rec_cols += [zo, dzx, dzy, zshift, tid, jnp.zeros_like(tid), jnp.zeros_like(tid)]
+    records = jnp.stack(rec_cols, axis=0)
+
+    # Planes: re-anchor from pixel (0,0) to the tile origin (pure arith).
+    oxf = ox.astype(jnp.float32)
+    oyf = oy.astype(jnp.float32)
+    nch = 0 if channels is None else channels.shape[-1]
+    frec_cols = []
+    for p in range(3 + nch):  # b0, b1, invw, channels...
+        p00 = tf_s[:, 2 + 3 * p]
+        pdx = tf_s[:, 3 + 3 * p]
+        pdy = tf_s[:, 4 + 3 * p]
+        frec_cols += [p00 + pdx * oxf + pdy * oyf, pdx, pdy]
+    while len(frec_cols) < fw:
+        frec_cols.append(jnp.zeros_like(oxf))
+    frecords = jnp.stack(frec_cols, axis=0)
+
     return BinnedTriangles(
-        records=records_out,
-        frecords=frecords_out,
+        records=records,
+        frecords=frecords,
         tile_start=tile_start,
         tile_count=count,
         num_pairs=total,

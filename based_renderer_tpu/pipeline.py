@@ -93,6 +93,12 @@ class Pipeline:
     # buffer through setup/binning — scenes that guarantee in-front
     # geometry (e.g. benchmarks) may disable it.
     near_clip: bool = True
+    # Static budget of the binned (tile, triangle) pair buffer, as a
+    # multiple of the triangle count.  4x is safe for mixed scenes;
+    # dense small-triangle meshes fit in ~1.5x, and oversizing costs HBM
+    # and gather bandwidth in the binner.  Overflow drops trailing pairs
+    # (debug mode surfaces the overflow flag).
+    raster_pairs_factor: float = 4.0
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.

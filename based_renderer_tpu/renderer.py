@@ -282,6 +282,7 @@ class Renderer:
                         if var_keys
                         else None
                     )
+                    num_t = clip_tri.shape[0]
                     out = rasterize_vis_pallas(
                         ts,
                         rw,
@@ -291,6 +292,7 @@ class Renderer:
                         depth_write=pipe.depth.write,
                         depth_clip=pipe.depth.clip,
                         depth_clear=clear_depth,
+                        max_pairs=max(int(num_t * pipe.raster_pairs_factor), 1024),
                         init=None if i == 0 else vis,
                         id_offset=offset,
                         channels=channels,
@@ -375,6 +377,8 @@ class Renderer:
         uniforms_seq,
         instances=None,
         return_frames: bool = False,
+        num_frames: int | None = None,
+        static_uniforms=None,
     ):
         """Render N frames in ONE device dispatch (lax.scan over uniforms).
 
@@ -394,7 +398,12 @@ class Renderer:
         """
         self.begin_frame()
         # Validate via the normal draw path using frame 0's uniforms.
+        # static_uniforms (e.g. textures) are shared across all frames
+        # rather than scanned over.
+        static_uniforms = static_uniforms or {}
         u0 = jax.tree.map(lambda x: x[0], uniforms_seq)
+        if isinstance(u0, dict):
+            u0 = {**static_uniforms, **u0}
         self.draw(pipeline, mesh, u0, instances)
         draws = self._draws
         self._draws, self._in_frame = [], False
@@ -405,14 +414,19 @@ class Renderer:
             single = self._build_program(draws, self._frame_clear[1], jit=False)
 
             def seq(dyn_seq, clear_color):
-                def body(carry, u):
+                def body(carry, xs):
+                    u, _ = xs
                     d = dict(dyn_seq[0])
-                    d["uniforms"] = u
+                    stat = dyn_seq[0]["static_uniforms"]
+                    d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
                     color, _depth_q, _tri_id = single([d], clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
                     return carry, out
 
-                _, outs = jax.lax.scan(body, 0, dyn_seq[0]["uniforms_seq"])
+                # The dummy ticks carry the frame count even when the
+                # uniforms tree is empty (e.g. the static triangle demo).
+                xs = (dyn_seq[0]["uniforms_seq"], dyn_seq[0]["frame_ticks"])
+                _, outs = jax.lax.scan(body, 0, xs)
                 return outs
 
             program = jax.jit(seq)
@@ -420,6 +434,12 @@ class Renderer:
 
         dyn = self._dynamic_args(draws)
         dyn[0]["uniforms_seq"] = jax.tree.map(self._uniform_leaf, uniforms_seq)
+        leaves = jax.tree.leaves(uniforms_seq)
+        n = leaves[0].shape[0] if leaves else num_frames
+        if n is None:
+            raise FrameError("render_sequence needs num_frames when uniforms are empty")
+        dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
+        dyn[0]["static_uniforms"] = jax.tree.map(self._uniform_leaf, static_uniforms)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
         return program(dyn, clear_color)
 
