@@ -89,10 +89,13 @@ def _raster_kernel(
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * num_tx + tx
-    # Segment starts are SEGMENT_ALIGN(=CHUNK)-aligned by the binner;
-    # Mosaic needs the hint to prove DMA offset alignment.
-    start = pl.multiple_of(tile_start_ref[tile], CHUNK)
-    count = tile_count_ref[tile]
+    # Records sit at arbitrary sorted offsets; DMA windows round the
+    # start down to a CHUNK multiple (Mosaic requires aligned offsets)
+    # and the leading foreign records are skipped by index.
+    raw_start = tile_start_ref[tile]
+    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+    skip = raw_start - start
+    count = tile_count_ref[tile] + skip
 
     if has_init:
         # Continue an earlier draw's visibility state (multi-draw frames).
@@ -148,52 +151,53 @@ def _raster_kernel(
         get_fdma(slot, c).wait()
 
         def rec_body(i, _):
-            @pl.when(c * CHUNK + i < count)
-            def _():
-                def f(j):
-                    return chunk_vmem[slot, j, i]  # scalar field read
+            # Loop bounds already restrict i to this tile's live records.
+            def f(j):
+                return chunk_vmem[slot, j, i]  # scalar field read
 
-                e0 = f(0) + f(3) * ix + f(6) * iy
-                e1 = f(1) + f(4) * ix + f(7) * iy
-                e2 = f(2) + f(5) * ix + f(8) * iy
-                covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            e0 = f(0) + f(3) * ix + f(6) * iy
+            e1 = f(1) + f(4) * ix + f(7) * iy
+            e2 = f(2) + f(5) * ix + f(8) * iy
+            covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
 
-                zshift = f(12)
-                z_u = f(9) + f(10) * ix + f(11) * iy
-                hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
-                z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
-                if depth_clip:
-                    covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
-                if depth_test:
-                    passes = covered & _depth_cmp(depth_compare, z, zs[:])
-                else:
-                    passes = covered
+            zshift = f(12)
+            z_u = f(9) + f(10) * ix + f(11) * iy
+            hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+            z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
+            if depth_clip:
+                covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+            if depth_test:
+                passes = covered & _depth_cmp(depth_compare, z, zs[:])
+            else:
+                passes = covered
 
-                def ff(j):
-                    return fchunk_vmem[slot, j, i]
+            def ff(j):
+                return fchunk_vmem[slot, j, i]
 
-                ixf = ix.astype(jnp.float32)
-                iyf = iy.astype(jnp.float32)
+            ixf = ix.astype(jnp.float32)
+            iyf = iy.astype(jnp.float32)
 
-                def plane(off):
-                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+            def plane(off):
+                return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
 
-                nb0 = plane(0)
-                nb1 = plane(3)
-                nb2 = (1.0 - nb0) - nb1
-                if depth_write:
-                    zs[:] = jnp.where(passes, z, zs[:])
-                ids[:] = jnp.where(passes, f(13), ids[:])
-                b0s[:] = jnp.where(passes, nb0, b0s[:])
-                b1s[:] = jnp.where(passes, nb1, b1s[:])
-                b2s[:] = jnp.where(passes, nb2, b2s[:])
-                iws[:] = jnp.where(passes, plane(6), iws[:])
-                for ci, ch in enumerate(chs):
-                    ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
+            nb0 = plane(0)
+            nb1 = plane(3)
+            nb2 = (1.0 - nb0) - nb1
+            if depth_write:
+                zs[:] = jnp.where(passes, z, zs[:])
+            ids[:] = jnp.where(passes, f(13), ids[:])
+            b0s[:] = jnp.where(passes, nb0, b0s[:])
+            b1s[:] = jnp.where(passes, nb1, b1s[:])
+            b2s[:] = jnp.where(passes, nb2, b2s[:])
+            iws[:] = jnp.where(passes, plane(6), iws[:])
+            for ci, ch in enumerate(chs):
+                ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
 
             return 0
 
-        jax.lax.fori_loop(0, jnp.minimum(count - c * CHUNK, CHUNK), rec_body, 0, unroll=False)
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
