@@ -72,6 +72,7 @@ def _raster_kernel(
     clear_depth_q: int,
     has_init: bool,
     num_channels: int,
+    scissor,
 ):
     # rest = [init blocks x5 if has_init] + outputs (5 + 1 invw +
     # num_channels) + scratch (2 chunks + 5 tiles + invw + channels + 2 sems).
@@ -117,6 +118,13 @@ def _raster_kernel(
 
     ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
     iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    if scissor is not None:
+        sx0, sy0, sx1, sy1 = scissor
+        gx_pix = ix + tx * tile_w
+        gy_pix = iy + ty * tile_h
+        scissor_mask = (gx_pix >= sx0) & (gx_pix < sx1) & (gy_pix >= sy0) & (gy_pix < sy1)
+    else:
+        scissor_mask = None
 
     num_chunks = pl.cdiv(count, CHUNK)
 
@@ -159,6 +167,8 @@ def _raster_kernel(
             e1 = f(1) + f(4) * ix + f(7) * iy
             e2 = f(2) + f(5) * ix + f(8) * iy
             covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            if scissor_mask is not None:
+                covered = covered & scissor_mask
 
             zshift = f(12)
             z_u = f(9) + f(10) * ix + f(11) * iy
@@ -227,6 +237,7 @@ def _raster_kernel(
         "max_pairs",
         "interpret",
         "perspective",
+        "scissor",
     ),
 )
 def rasterize_vis_pallas(
@@ -246,6 +257,7 @@ def rasterize_vis_pallas(
     id_offset: int = 0,
     channels=None,
     perspective: bool = True,
+    scissor=None,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -295,6 +307,7 @@ def rasterize_vis_pallas(
         clear_depth_q=clear_q,
         has_init=has_init,
         num_channels=num_ch,
+        scissor=scissor,
     )
 
     tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))

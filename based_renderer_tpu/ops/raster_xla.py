@@ -74,6 +74,7 @@ def rasterize_vis(
     init: VisBuffer | None = None,
     id_offset: int = 0,
     origin=(0, 0),
+    scissor=None,
 ) -> VisBuffer:
     """Scan all triangles, exact edge tests at every pixel.
 
@@ -126,6 +127,9 @@ def rasterize_vis(
         # Scissor to the triangle's bbox (also enforces screen clamp).
         bb = ts.bbox[t]
         covered = covered & (px >= bb[0]) & (px < bb[2]) & (py >= bb[1]) & (py < bb[3])
+        if scissor is not None:
+            sx0, sy0, sx1, sy1 = scissor
+            covered = covered & (px >= sx0) & (px < sx1) & (py >= sy0) & (py < sy1)
         covered = covered & valid
 
         z_tile = depth_tile_anchor(

@@ -71,6 +71,7 @@ def setup_triangles(
     cull_mode: str = "none",
     front_face: str = "ccw",
     w_eps: float = 1e-6,
+    scissor=None,
 ) -> TriSetup:
     """Vectorized triangle setup.
 
@@ -82,6 +83,10 @@ def setup_triangles(
         conventional y-up screen orientation (main.cpp:1783 uses CCW).
       w_eps: triangles with any vertex w <= w_eps are dropped (near-plane
         clipping proper is applied by ops.clip before setup).
+      scissor: optional (x0, y0, x1, y1) pixel rect (x1/y1 exclusive);
+        bboxes are clamped into it, and rasterizers must also mask
+        coverage to it (the dynamic-scissor analog of main.cpp:1764-1775,
+        where the reference bakes a full-extent static scissor).
     """
     x, y, z, w = clip_pos[..., 0], clip_pos[..., 1], clip_pos[..., 2], clip_pos[..., 3]
     w_ok = jnp.all(w > jnp.float32(w_eps), axis=-1)
@@ -151,10 +156,11 @@ def setup_triangles(
     y0 = jnp.floor_divide(min_yf - hp + (sc - 1), sc)
     x1 = jnp.floor_divide(max_xf - hp, sc) + 1  # exclusive
     y1 = jnp.floor_divide(max_yf - hp, sc) + 1
-    x0 = jnp.clip(x0, 0, width)
-    y0 = jnp.clip(y0, 0, height)
-    x1 = jnp.clip(x1, 0, width)
-    y1 = jnp.clip(y1, 0, height)
+    sx0, sy0, sx1, sy1 = (0, 0, width, height) if scissor is None else scissor
+    x0 = jnp.clip(x0, sx0, sx1)
+    y0 = jnp.clip(y0, sy0, sy1)
+    x1 = jnp.clip(x1, sx0, sx1)
+    y1 = jnp.clip(y1, sy0, sy1)
     nonempty = (x1 > x0) & (y1 > y0)
 
     valid = w_ok & cull_ok & ~is_zero & nonempty
@@ -217,32 +223,6 @@ def setup_triangles(
         dzdy_q=dzdy_q,
         zshift=zshift,
     )
-
-
-def anchored_edges(ts: TriSetup, anchor_px, anchor_py):
-    """Exact edge values at a tile-anchor pixel center, clamped to int32.
-
-    Returns int32 (..., 3) E0 values such that stepping E0 + A*dx + B*dy in
-    int32 over any tile of <= 128x128 px starting at the anchor reproduces
-    exact-arithmetic sign classes (proof in ops/fixedpoint.py docstring).
-    ``anchor_px/py`` broadcast against the triangle dims of ``ts``.
-    """
-    px_fp, py_fp = fp.pixel_center_fp(anchor_px, anchor_py)
-    e = fp.edge_at_point_exact(ts.xf, ts.yf, ts.a, ts.b, px_fp[..., None], py_fp[..., None])
-    return fp.i64_clamp_to_i32(e, -fp.ANCHOR_CLAMP, fp.ANCHOR_CLAMP)
-
-
-def barycentrics_f32(e0, e1, e2, inv_area):
-    """Unnormalized edge values (int32) -> f32 barycentric weights of
-    (v0, v1, v2).
-
-    Weight of v0 comes from edge 1 (v1->v2), v1 from edge 2, v2 from edge 0.
-    Deterministic op order — shared with the CPU oracle for bit-identity.
-    """
-    b0 = e1.astype(jnp.float32) * inv_area
-    b1 = e2.astype(jnp.float32) * inv_area
-    b2 = e0.astype(jnp.float32) * inv_area
-    return b0, b1, b2
 
 
 def depth_tile_anchor(zq0, x0f, y0f, gx, gy, zshift, ax, ay):

@@ -99,6 +99,10 @@ class Pipeline:
     # and gather bandwidth in the binner.  Overflow drops trailing pairs
     # (debug mode surfaces the overflow flag).
     raster_pairs_factor: float = 4.0
+    # Optional scissor rect (x0, y0, x1, y1), x1/y1 exclusive; None = full
+    # framebuffer (the reference bakes a full-extent static scissor,
+    # main.cpp:1764-1775).
+    scissor: tuple | None = None
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.

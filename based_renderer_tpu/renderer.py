@@ -229,6 +229,12 @@ class Renderer:
             )
         return out
 
+    @staticmethod
+    def _scaled_scissor(pipe, scale):
+        if pipe.scissor is None:
+            return None
+        return tuple(int(v) * scale for v in pipe.scissor)
+
     def _use_pallas(self) -> bool:
         backend = self.config.raster_backend
         if backend == "pallas":
@@ -268,7 +274,12 @@ class Renderer:
 
                     clip_tri, var_tri = clip_near(clip_tri, var_tri)
                 ts = setup_triangles(
-                    clip_tri, rw, rh, cull_mode=pipe.cull_mode, front_face=pipe.front_face
+                    clip_tri,
+                    rw,
+                    rh,
+                    cull_mode=pipe.cull_mode,
+                    front_face=pipe.front_face,
+                    scissor=self._scaled_scissor(pipe, scale),
                 )
                 interp = invw = None
                 var_keys = sorted(var_tri)
@@ -297,6 +308,7 @@ class Renderer:
                         id_offset=offset,
                         channels=channels,
                         perspective=pipe.perspective_correct,
+                        scissor=self._scaled_scissor(pipe, scale),
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
                         interpret=self.device.platform == "cpu",
@@ -316,6 +328,7 @@ class Renderer:
                         depth_clip=pipe.depth.clip,
                         init=vis,
                         id_offset=offset,
+                        scissor=self._scaled_scissor(pipe, scale),
                     )
                 per_draw.append((ts, var_tri, offset, ts.valid.shape[0], interp, invw))
                 offset += ts.valid.shape[0]

@@ -190,3 +190,25 @@ def test_missing_attribute_raises():
 def test_unknown_shader_raises():
     with pytest.raises(KeyError):
         brt.shader.get("nope")
+
+
+def test_scissor_rect():
+    """Scissor clips coverage to the rect on both backends."""
+    rect = (20, 10, 60, 40)
+    for backend in ("xla", "pallas"):
+        r = brt.Renderer(brt.RendererConfig(width=96, height=64, raster_backend=backend))
+        pipe, mesh, uniforms, _ = demos.cube_demo(r)
+        import dataclasses
+
+        pipe_s = dataclasses.replace(pipe, scissor=rect)
+        f = r.render_frame(pipe_s, mesh, uniforms(0.5))
+        m = np.asarray(f.tri_id) >= 0
+        assert m.any()
+        ys, xs = np.where(m)
+        assert xs.min() >= rect[0] and xs.max() < rect[2]
+        assert ys.min() >= rect[1] and ys.max() < rect[3]
+        # Inside the rect the image matches the unscissored render.
+        f0 = r.render_frame(pipe, mesh, uniforms(0.5))
+        a = f.color_np()[rect[1] : rect[3], rect[0] : rect[2]]
+        b = f0.color_np()[rect[1] : rect[3], rect[0] : rect[2]]
+        np.testing.assert_array_equal(a, b)
