@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Real-TPU verification suite (run on a machine with a TPU attached).
+
+The CPU test suite (tests/) proves oracle <-> XLA <-> Pallas-interpret
+bit-identity; this script re-proves it against the *compiled* Mosaic
+kernel and the real XLA:TPU backend, where f32 division is not IEEE and
+FMA contraction differs — exactly the hazards the spec was built against.
+
+    python tools/tpu_checks.py            # correctness
+    python tools/tpu_checks.py --perf     # + per-config throughput
+
+Run it from the repo root; expect a few minutes of kernel compiles on
+first run (enable the persistent cache to amortize).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def check_bit_identity():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from based_renderer_tpu.ops.setup import setup_triangles
+    from based_renderer_tpu.ops.raster_xla import rasterize_vis
+    from based_renderer_tpu.ops.raster_pallas import rasterize_vis_pallas
+    from based_renderer_tpu.reference import oracle
+
+    ok = True
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 24
+        w = rng.uniform(0.5, 3.0, size=(n, 3, 1)).astype(np.float32)
+        xy = rng.uniform(-1.2, 1.2, size=(n, 3, 2)).astype(np.float32) * w
+        z = rng.uniform(0, 1, size=(n, 3, 1)).astype(np.float32) * w
+        clip = np.concatenate([xy, z, w], -1).astype(np.float32)
+        W, H = 256, 128
+        ts = jax.jit(lambda c: setup_triangles(c, W, H))(jnp.asarray(clip))
+        ora = oracle.rasterize(clip, W, H)
+        for name, vis in (
+            ("xla", rasterize_vis(ts, W, H)),
+            ("pallas", rasterize_vis_pallas(ts, W, H)),
+        ):
+            t_ok = np.array_equal(np.asarray(vis.tri_id), ora["tri_id"])
+            d_ok = np.array_equal(np.asarray(vis.depth_q), ora["depth_q"])
+            print(f"seed {seed} {name:6s}: tri_id={t_ok} depth_q={d_ok}", flush=True)
+            ok &= t_ok and d_ok
+    print("TPU BIT-IDENTITY:", "PASS" if ok else "FAIL", flush=True)
+    return ok
+
+
+def perf():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+    from based_renderer_tpu.scene import Texture
+
+    def bench_seq(name, W, H, msaa=1, n1=4, n2=12, **dkw):
+        cfg = brt.RendererConfig(width=W, height=H, msaa=msaa)
+        r = brt.Renderer(cfg)
+        pipe, mesh, uniforms, inst = demos.DEMOS[name](r, **dkw)
+        u0 = uniforms(0.0)
+        static = {k: v for k, v in u0.items() if isinstance(v, Texture)}
+
+        def strip(u):
+            return {k: v for k, v in u.items() if k not in static}
+
+        def run(n):
+            if strip(u0):
+                useq = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[strip(uniforms(0.016 * i)) for i in range(n)]
+                )
+                useq = jax.block_until_ready(useq)
+            else:
+                useq = {}
+            kw = dict(instances=inst, num_frames=n, static_uniforms=static)
+            np.asarray(r.render_sequence(pipe, mesh, useq, **kw))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(r.render_sequence(pipe, mesh, useq, **kw))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        a, b = run(n1), run(n2)
+        dt = (b - a) / (n2 - n1)
+        print(
+            f"{name:14s} {W}x{H} msaa={msaa}: {dt * 1e3:9.3f} ms/frame = {1 / dt:8.1f} fps",
+            flush=True,
+        )
+
+    bench_seq("cube", 1920, 1080, n1=16, n2=48)
+    bench_seq("textured_cube", 1920, 1080)
+    bench_seq("instanced", 1920, 1080, n1=2, n2=6, count=10000)
+    bench_seq("big_mesh", 1920, 1080, n1=2, n2=6, triangles=1_000_000)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--perf", action="store_true")
+    args = ap.parse_args()
+    from based_renderer_tpu.utils import cache
+
+    cache.enable_persistent_cache()
+    ok = check_bit_identity()
+    if args.perf:
+        perf()
+    sys.exit(0 if ok else 1)
