@@ -67,38 +67,56 @@ class _DrawCmd:
 
 @dataclass
 class FrameResult:
-    """Rendered frame (device arrays; fetch lazily)."""
+    """Rendered frame (device arrays; fetch lazily).
 
-    color: jnp.ndarray  # (H, W, 4) f32
+    The device-side color is channel-planar (4, H, W) — XLA pads minor
+    dims to 128 lanes, so (H, W, 4) on device would cost 32x its size
+    (see _blend).  Interleaved views are produced host-side for free.
+    """
+
+    color_planar: jnp.ndarray  # (4, H, W) f32, device layout
     depth_q: jnp.ndarray  # (H*s, W*s) int32 quantized depth
     tri_id: jnp.ndarray  # (H*s, W*s) int32
 
+    @property
+    def color(self) -> jnp.ndarray:
+        """(H, W, 4) view (device op; prefer color_np for host use)."""
+        return jnp.transpose(self.color_planar, (1, 2, 0))
+
     def color_np(self) -> np.ndarray:
-        return np.asarray(self.color)
+        return np.moveaxis(np.asarray(self.color_planar), 0, -1)
 
     def color_u8(self) -> np.ndarray:
-        return np.asarray(
-            jnp.clip(self.color * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-        )
+        c = self.color_np()
+        return np.clip(c * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
     def depth_np(self) -> np.ndarray:
         return np.asarray(self.depth_q, np.int64).astype(np.float64) / fp.DEPTH_ONE_Q
 
 
 def _blend(src, dst, state):
+    """Blend in planar (4, H, W) layout (alpha = channel 3, leading axis).
+
+    Framebuffers are kept channel-planar on device: XLA pads the minor
+    dimension to 128 lanes, so a materialized (H, W, 4) image costs 32x
+    its logical size in HBM and bandwidth (measured: a supersampled-4K
+    (H, W, 4) color buffer alone blew out HBM with a 32.0x padding
+    expansion).  Host-side layout conversion is free by comparison.
+    """
+
     def factor(name, s, d):
         if name == "zero":
             return jnp.float32(0.0)
         if name == "one":
             return jnp.float32(1.0)
         if name == "src_alpha":
-            return s[..., 3:4]
+            return s[3:4]
         if name == "one_minus_src_alpha":
-            return 1.0 - s[..., 3:4]
+            return 1.0 - s[3:4]
         if name == "dst_alpha":
-            return d[..., 3:4]
+            return d[3:4]
         if name == "one_minus_dst_alpha":
-            return 1.0 - d[..., 3:4]
+            return 1.0 - d[3:4]
         raise ValueError(name)
 
     if not state.enable:
@@ -172,7 +190,7 @@ class Renderer:
             if not np.isfinite(cnp).all():
                 raise FrameError("non-finite values in rendered color buffer")
         self.frame_count += 1
-        return FrameResult(color=color, depth_q=depth_q, tri_id=tri_id)
+        return FrameResult(color_planar=color, depth_q=depth_q, tri_id=tri_id)
 
     def render_frame(self, pipeline, mesh, uniforms=None, instances=None, **clear) -> FrameResult:
         """Convenience: one-draw frame."""
@@ -334,7 +352,10 @@ class Renderer:
                 offset += ts.valid.shape[0]
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
-            color = jnp.broadcast_to(clear_color, (rh, rw, 4)).astype(jnp.float32)
+            # Color is planar (4, rh, rw) on device (see _blend docstring).
+            color = jnp.broadcast_to(
+                clear_color.astype(jnp.float32)[:, None, None], (4, rh, rw)
+            )
             for i, d in enumerate(dyn):
                 ts, var_tri, off, ntri, interp, invw = per_draw[i]
                 pipe = pipelines[i]
@@ -358,8 +379,7 @@ class Renderer:
                     frag["tri_id"] = vis_local.tri_id
                     frag["depth"] = vis_local.depth
                     frag["bary"] = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)
-                    rgba = shaders[i].fragment(frag, d["uniforms"])
-                    rgba = jnp.where(mask[..., None], rgba, color)
+                    rgba = jnp.transpose(shaders[i].fragment(frag, d["uniforms"]), (2, 0, 1))
                 else:
                     rgba = raster_xla.shade_deferred(
                         vis_local,
@@ -367,14 +387,21 @@ class Renderer:
                         var_tri,
                         shaders[i].fragment,
                         d["uniforms"],
-                        background=color,
+                        background=jnp.transpose(color, (1, 2, 0)),
                         perspective=pipe.perspective_correct,
                     )
+                    rgba = jnp.transpose(rgba, (2, 0, 1))
                 blended = _blend(rgba, color, pipe.blend)
-                color = jnp.where(mask[..., None], blended, color)
+                color = jnp.where(mask[None], blended, color)
 
-            if scale == 2:  # MSAA-4x box resolve
-                resolved = color.reshape(cfg.height, 2, cfg.width, 2, 4).mean(axis=(1, 3))
+            if scale == 2:  # MSAA-4x box resolve (planar, strided slices —
+                # a reshape with tiny trailing dims would lane-pad 32x)
+                resolved = (
+                    color[:, 0::2, 0::2]
+                    + color[:, 0::2, 1::2]
+                    + color[:, 1::2, 0::2]
+                    + color[:, 1::2, 1::2]
+                ) * jnp.float32(0.25)
             else:
                 resolved = color
             return resolved, vis.depth_q, vis.tri_id

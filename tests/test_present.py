@@ -48,10 +48,12 @@ def test_render_sequence_matches_frames():
     pipe, mesh, uniforms, _ = demos.cube_demo(r)
     useq = jax.tree.map(lambda *xs: jnp.stack(xs), *[uniforms(0.3 * i) for i in range(4)])
     sums, colors = r.render_sequence(pipe, mesh, useq, return_frames=True)
-    assert colors.shape == (4, 48, 64, 4)
+    assert colors.shape == (4, 4, 48, 64)  # (N, C, H, W): planar device layout
     for i in range(4):
         f = r.render_frame(pipe, mesh, uniforms(0.3 * i))
-        np.testing.assert_allclose(np.asarray(colors[i]), f.color_np(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(colors[i]), 0, -1), f.color_np(), atol=1e-6
+        )
         assert abs(float(sums[i]) - float(jnp.sum(f.color))) < 1e-2
 
 
