@@ -104,7 +104,8 @@ def render_tiled(
     tri_spec = P(geometry_axis) if geometry_axis else P()
     var_spec = jax.tree.map(lambda _: tri_spec, varyings)
     in_specs = (tri_spec, var_spec, jax.tree.map(lambda _: P(), uniforms))
-    out_specs = (P("y", "x"), P("y", "x"), P("y", "x"))
+    # Color ships planar (4, H, W): device (H, W, 4) buffers lane-pad 32x.
+    out_specs = (P(None, "y", "x"), P("y", "x"), P("y", "x"))
 
     def shard_fn(clip_shard, var_shard, unif):
         iy = jax.lax.axis_index("y")
@@ -151,7 +152,7 @@ def render_tiled(
             rgba = jax.lax.psum(rgba, geometry_axis)
             bg = jnp.broadcast_to(jnp.asarray(clear_color, jnp.float32), rgba.shape)
             color = jnp.where((vis.tri_id >= 0)[..., None], rgba, bg)
-            return color, vis.depth_q, vis.tri_id
+            return jnp.transpose(color, (2, 0, 1)), vis.depth_q, vis.tri_id
         else:
             color = raster_xla.shade_deferred(
                 vis,
@@ -164,7 +165,7 @@ def render_tiled(
                 ),
                 perspective=pipeline.perspective_correct,
             )
-        return color, vis.depth_q, vis.tri_id
+        return jnp.transpose(color, (2, 0, 1)), vis.depth_q, vis.tri_id
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False

@@ -52,7 +52,11 @@ class Swapchain:
         oldest = self._ring.popleft()
         self.presented += 1
         # The fence wait: materialize the oldest frame on the host while
-        # newer frames are still being computed on-device.
+        # newer frames are still being computed on-device.  Prefer the
+        # host-side layout conversion (device (H, W, 4) buffers lane-pad
+        # 32x — see renderer._blend).
+        if hasattr(oldest, "color_np"):
+            return oldest.color_np()
         return np.asarray(oldest.color)
 
     def flush(self) -> list:

@@ -40,7 +40,7 @@ def test_tiled_matches_single_device(ny, nx):
     # differ by float fusion across shapes, so compare with 1-ulp slack.
     np.testing.assert_array_equal(np.asarray(sf.tri_id), np.asarray(tri_id))
     np.testing.assert_array_equal(np.asarray(sf.depth_q), np.asarray(depth_q))
-    np.testing.assert_allclose(sf.color_np(), np.asarray(color), atol=2e-7)
+    np.testing.assert_allclose(sf.color_np(), np.moveaxis(np.asarray(color), 0, -1), atol=2e-7)
 
 
 def test_geometry_parallel_matches():
@@ -54,7 +54,7 @@ def test_geometry_parallel_matches():
     color, depth_q, tri_id = tr.render(pipe, mesh, u)
     np.testing.assert_array_equal(np.asarray(sf.tri_id), np.asarray(tri_id))
     np.testing.assert_array_equal(np.asarray(sf.depth_q), np.asarray(depth_q))
-    np.testing.assert_allclose(sf.color_np(), np.asarray(color), atol=2e-7)
+    np.testing.assert_allclose(sf.color_np(), np.moveaxis(np.asarray(color), 0, -1), atol=2e-7)
 
 
 def test_tiled_output_is_sharded():
