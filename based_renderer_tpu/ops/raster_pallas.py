@@ -181,27 +181,32 @@ def _raster_kernel(
             else:
                 passes = covered
 
-            def ff(j):
-                return fchunk_vmem[slot, j, i]
+            # Records that win no pixel (fully occluded, or a bbox-binned
+            # sliver missing the tile) skip interpolation and writeback
+            # entirely — with depth testing this prunes most overdraw.
+            @pl.when(jnp.any(passes))
+            def _():
+                def ff(j):
+                    return fchunk_vmem[slot, j, i]
 
-            ixf = ix.astype(jnp.float32)
-            iyf = iy.astype(jnp.float32)
+                ixf = ix.astype(jnp.float32)
+                iyf = iy.astype(jnp.float32)
 
-            def plane(off):
-                return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+                def plane(off):
+                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
 
-            nb0 = plane(0)
-            nb1 = plane(3)
-            nb2 = (1.0 - nb0) - nb1
-            if depth_write:
-                zs[:] = jnp.where(passes, z, zs[:])
-            ids[:] = jnp.where(passes, f(13), ids[:])
-            b0s[:] = jnp.where(passes, nb0, b0s[:])
-            b1s[:] = jnp.where(passes, nb1, b1s[:])
-            b2s[:] = jnp.where(passes, nb2, b2s[:])
-            iws[:] = jnp.where(passes, plane(6), iws[:])
-            for ci, ch in enumerate(chs):
-                ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
+                nb0 = plane(0)
+                nb1 = plane(3)
+                nb2 = (1.0 - nb0) - nb1
+                if depth_write:
+                    zs[:] = jnp.where(passes, z, zs[:])
+                ids[:] = jnp.where(passes, f(13), ids[:])
+                b0s[:] = jnp.where(passes, nb0, b0s[:])
+                b1s[:] = jnp.where(passes, nb1, b1s[:])
+                b2s[:] = jnp.where(passes, nb2, b2s[:])
+                iws[:] = jnp.where(passes, plane(6), iws[:])
+                for ci, ch in enumerate(chs):
+                    ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
 
             return 0
 
