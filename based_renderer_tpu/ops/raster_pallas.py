@@ -73,6 +73,7 @@ def _raster_kernel(
     has_init: bool,
     num_channels: int,
     scissor,
+    skip_losers: bool,
 ):
     # rest = [init blocks x5 if has_init] + outputs (5 + 1 invw +
     # num_channels) + scratch (2 chunks + 5 tiles + invw + channels + 2 sems).
@@ -182,10 +183,11 @@ def _raster_kernel(
                 passes = covered
 
             # Records that win no pixel (fully occluded, or a bbox-binned
-            # sliver missing the tile) skip interpolation and writeback
-            # entirely — with depth testing this prunes most overdraw.
-            @pl.when(jnp.any(passes))
-            def _():
+            # sliver missing the tile) can skip interpolation and
+            # writeback entirely — with depth testing this prunes
+            # overdraw on dense meshes (opt-in: the any-reduce costs more
+            # than it saves on low-overlap scenes).
+            def writeback():
                 def ff(j):
                     return fchunk_vmem[slot, j, i]
 
@@ -207,6 +209,11 @@ def _raster_kernel(
                 iws[:] = jnp.where(passes, plane(6), iws[:])
                 for ci, ch in enumerate(chs):
                     ch[:] = jnp.where(passes, plane(FRECORD_BASE + 3 * ci), ch[:])
+
+            if skip_losers:
+                pl.when(jnp.any(passes))(writeback)
+            else:
+                writeback()
 
             return 0
 
@@ -243,6 +250,7 @@ def _raster_kernel(
         "interpret",
         "perspective",
         "scissor",
+        "skip_losers",
     ),
 )
 def rasterize_vis_pallas(
@@ -263,6 +271,7 @@ def rasterize_vis_pallas(
     channels=None,
     perspective: bool = True,
     scissor=None,
+    skip_losers: bool = False,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -313,6 +322,7 @@ def rasterize_vis_pallas(
         has_init=has_init,
         num_channels=num_ch,
         scissor=scissor,
+        skip_losers=skip_losers,
     )
 
     tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))

@@ -103,6 +103,11 @@ class Pipeline:
     # framebuffer (the reference bakes a full-extent static scissor,
     # main.cpp:1764-1775).
     scissor: tuple | None = None
+    # Skip interpolation/writeback for raster records that win no pixels.
+    # Wins on high-overdraw dense meshes (each skipped record saves the
+    # f32 plane math); costs one vector reduce per record, so leave off
+    # for low-overlap scenes.
+    raster_skip_losers: bool = False
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.

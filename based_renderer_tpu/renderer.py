@@ -327,6 +327,7 @@ class Renderer:
                         channels=channels,
                         perspective=pipe.perspective_correct,
                         scissor=self._scaled_scissor(pipe, scale),
+                        skip_losers=pipe.raster_skip_losers,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
                         interpret=self.device.platform == "cpu",
