@@ -126,7 +126,6 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         # triangles are tiny: skip the clipper and budget ~1.5 pairs/tri.
         near_clip=False,
         raster_pairs_factor=1.5,
-        raster_skip_losers=True,  # dense mesh: ~2x overdraw to prune
     )
     aspect = r.config.width / r.config.height
 
