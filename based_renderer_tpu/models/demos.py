@@ -94,9 +94,11 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         depth=DepthState(test=True, write=True, compare="less"),
         cull_mode="back",
         front_face="ccw",
-        # Small cubes cover ~1-2 tiles each; a tight pair budget keeps
-        # the binner's gather traffic proportional to real work.
-        raster_pairs_factor=1.0,
+        # The cube field stays inside the view volume: skip the clipper
+        # (which would double the triangle stream), and keep a tight pair
+        # budget so binner gather traffic tracks real work.
+        near_clip=False,
+        raster_pairs_factor=2.0,
     )
     aspect = r.config.width / r.config.height
     extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
