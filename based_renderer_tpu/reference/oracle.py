@@ -40,7 +40,9 @@ DEPTH_LSB_BITS = 24
 DEPTH_FRAC_BITS = 6
 DEPTH_ONE_Q = 1 << 30
 DEPTH_VERTEX_CLAMP = 1 << 29
-DEPTH_GRAD_CLAMP = (1 << 22) - 1
+# Must match ops/fixedpoint.py DEPTH_GRAD_CLAMP: the value-exactness proof
+# there needs in-tile variation 2*clamp*127 < 2^29, i.e. clamp < 2^21.
+DEPTH_GRAD_CLAMP = (1 << 21) - 1
 DEPTH_TILE = 128
 
 _COMPARES = {
