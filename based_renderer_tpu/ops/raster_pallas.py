@@ -234,6 +234,206 @@ def _raster_kernel(
         cr[:] = ch[:]
 
 
+def _raster_kernel_two_pass(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    records_hbm,  # (RECORD_WIDTH, MAXPAIRS) int32, stays in HBM
+    frecords_hbm,  # (FRECORD_WIDTH, MAXPAIRS) f32, stays in HBM
+    *rest,
+    tile_w: int,
+    tile_h: int,
+    num_tx: int,
+    depth_test: bool,
+    depth_compare: str,
+    depth_write: bool,
+    depth_clip: bool,
+    clear_depth_q: int,
+    has_init: bool,
+    num_channels: int,
+    scissor,
+):
+    """Two-pass variant: an int-only visibility pass records the winning
+    record index per pixel; a second pass replays only the float-plane
+    interpolation, skipping records that won no pixel.  Dense-mesh frames
+    are record-bound, and most records lose every pixel (occlusion +
+    bbox-binned slivers), so pass 2 is nearly free — the per-record cost
+    drops to the int visibility math.
+    """
+    nout = 6 + num_channels
+    ninit = 5 if has_init else 0
+    init_refs = rest[:ninit]
+    outs = rest[ninit : ninit + nout]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
+    chan_refs = outs[6:]
+    scratch = rest[ninit + nout :]
+    chunk_vmem, fchunk_vmem, zs, ids, widx, b0s, b1s, b2s, iws = scratch[:9]
+    chs = scratch[9 : 9 + num_channels]
+    sems, fsems = scratch[9 + num_channels :]
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * num_tx + tx
+    raw_start = tile_start_ref[tile]
+    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+    skip = raw_start - start
+    count = tile_count_ref[tile] + skip
+
+    if has_init:
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        ids[:] = i_id[:]
+        zs[:] = i_z[:]
+        b0s[:] = i_b0[:]
+        b1s[:] = i_b1[:]
+        b2s[:] = i_b2[:]
+    else:
+        zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
+        ids[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
+        b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b2s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    widx[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
+    iws[:] = jnp.ones((tile_h, tile_w), jnp.float32)
+    for ch in chs:
+        ch[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    if scissor is not None:
+        sx0, sy0, sx1, sy1 = scissor
+        gx_pix = ix + tx * tile_w
+        gy_pix = iy + ty * tile_h
+        scissor_mask = (gx_pix >= sx0) & (gx_pix < sx1) & (gy_pix >= sy0) & (gy_pix < sy1)
+    else:
+        scissor_mask = None
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def get_fdma(slot, c):
+        return pltpu.make_async_copy(
+            frecords_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            fchunk_vmem.at[slot],
+            fsems.at[slot],
+        )
+
+    # ---- pass 1: int visibility ------------------------------------------
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        def rec_body(i, _):
+            def f(j):
+                return chunk_vmem[slot, j, i]
+
+            e0 = f(0) + f(3) * ix + f(6) * iy
+            e1 = f(1) + f(4) * ix + f(7) * iy
+            e2 = f(2) + f(5) * ix + f(8) * iy
+            covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            if scissor_mask is not None:
+                covered = covered & scissor_mask
+
+            zshift = f(12)
+            z_u = f(9) + f(10) * ix + f(11) * iy
+            hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+            z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
+            if depth_clip:
+                covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+            if depth_test:
+                passes = covered & _depth_cmp(depth_compare, z, zs[:])
+            else:
+                passes = covered
+            if depth_write:
+                zs[:] = jnp.where(passes, z, zs[:])
+            ids[:] = jnp.where(passes, f(13), ids[:])
+            widx[:] = jnp.where(passes, c * CHUNK + i, widx[:])
+            return 0
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    # ---- pass 2: float planes for surviving records only ------------------
+    # Only chunks containing a winner need work (and their frecord DMA).
+    win_max = jnp.max(widx[:])
+
+    @pl.when(win_max >= 0)
+    def _():
+        get_fdma(0, 0).start()
+
+    last_chunk = win_max // CHUNK  # -1 when no winners
+
+    def fchunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 <= last_chunk)
+        def _():
+            get_fdma((c + 1) % 2, c + 1).start()
+
+        get_fdma(slot, c).wait()
+
+        def rec_body(i, _):
+            mask = widx[:] == c * CHUNK + i
+
+            @pl.when(jnp.any(mask))
+            def _():
+                def ff(j):
+                    return fchunk_vmem[slot, j, i]
+
+                ixf = ix.astype(jnp.float32)
+                iyf = iy.astype(jnp.float32)
+
+                def plane(off):
+                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+
+                nb0 = plane(0)
+                nb1 = plane(3)
+                nb2 = (1.0 - nb0) - nb1
+                b0s[:] = jnp.where(mask, nb0, b0s[:])
+                b1s[:] = jnp.where(mask, nb1, b1s[:])
+                b2s[:] = jnp.where(mask, nb2, b2s[:])
+                iws[:] = jnp.where(mask, plane(6), iws[:])
+                for ci, ch in enumerate(chs):
+                    ch[:] = jnp.where(mask, plane(FRECORD_BASE + 3 * ci), ch[:])
+
+            return 0
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, last_chunk + 1, fchunk_body, 0, unroll=False)
+
+    tri_id_ref[:] = ids[:]
+    depth_ref[:] = zs[:]
+    b0_ref[:] = b0s[:]
+    b1_ref[:] = b1s[:]
+    b2_ref[:] = b2s[:]
+    invw_ref[:] = iws[:]
+    for cr, ch in zip(chan_refs, chs):
+        cr[:] = ch[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -251,6 +451,8 @@ def _raster_kernel(
         "perspective",
         "scissor",
         "skip_losers",
+        "return_overflow",
+        "two_pass",
     ),
 )
 def rasterize_vis_pallas(
@@ -272,6 +474,8 @@ def rasterize_vis_pallas(
     perspective: bool = True,
     scissor=None,
     skip_losers: bool = False,
+    return_overflow: bool = False,
+    two_pass: bool = False,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -284,15 +488,12 @@ def rasterize_vis_pallas(
     interpolates them in-raster (perspective-correct when ``perspective``)
     and returns (vis, interp (K, H, W), invw (H, W)) instead of just vis —
     the gather-free fast path for deferred shading on TPU.
-    """
-    pad_w = -(-width // tile_w) * tile_w
-    pad_h = -(-height // tile_h) * tile_h
-    num_tx = pad_w // tile_w
-    num_ty = pad_h // tile_h
-    clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
-    has_init = init is not None
-    num_ch = 0 if channels is None else channels.shape[-1]
 
+    return_overflow: also append the binner's overflow flag (a () bool
+    that is True when the true (tile, triangle) pair count exceeded
+    max_pairs, i.e. trailing triangles were dropped from the frame).
+    """
+    num_ch = 0 if channels is None else channels.shape[-1]
     binned = bin_triangles(
         ts,
         width,
@@ -304,13 +505,70 @@ def rasterize_vis_pallas(
         channels=channels,
         perspective=perspective,
     )
+    out = rasterize_binned(
+        binned,
+        width,
+        height,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        depth_test=depth_test,
+        depth_compare=depth_compare,
+        depth_write=depth_write,
+        depth_clip=depth_clip,
+        depth_clear=depth_clear,
+        interpret=interpret,
+        init=init,
+        num_channels=num_ch,
+        scissor=scissor,
+        skip_losers=skip_losers,
+        two_pass=two_pass,
+    )
+    if not return_overflow:
+        return out
+    if num_ch == 0:
+        return out, binned.overflowed
+    return (*out, binned.overflowed)
+
+
+def rasterize_binned(
+    binned,
+    width: int,
+    height: int,
+    tile_w: int = 128,
+    tile_h: int = 32,
+    depth_test: bool = True,
+    depth_compare: str = "less",
+    depth_write: bool = True,
+    depth_clip: bool = True,
+    depth_clear: float = 1.0,
+    interpret: bool = False,
+    init: VisBuffer | None = None,
+    num_channels: int = 0,
+    scissor=None,
+    skip_losers: bool = False,
+    two_pass: bool = False,
+):
+    """Rasterize an already-binned record stream (see bin_triangles).
+
+    The kernel stage of rasterize_vis_pallas, exposed separately so
+    callers can bin and rasterize at different altitudes (the multi-chip
+    path bins per shard; probes time the kernel in isolation).  Not
+    jitted — call under jit.
+    """
+    pad_w = -(-width // tile_w) * tile_w
+    pad_h = -(-height // tile_h) * tile_h
+    num_tx = pad_w // tile_w
+    num_ty = pad_h // tile_h
+    clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
+    has_init = init is not None
+    num_ch = num_channels
+
     # Segments are SEGMENT_ALIGN-padded by the binner, so CHUNK-rounded
     # DMA slices stay in bounds.
     records = binned.records
     frecords = binned.frecords
 
-    kernel = functools.partial(
-        _raster_kernel,
+    common = dict(
         tile_w=tile_w,
         tile_h=tile_h,
         num_tx=num_tx,
@@ -322,8 +580,11 @@ def rasterize_vis_pallas(
         has_init=has_init,
         num_channels=num_ch,
         scissor=scissor,
-        skip_losers=skip_losers,
     )
+    if two_pass:
+        kernel = functools.partial(_raster_kernel_two_pass, **common)
+    else:
+        kernel = functools.partial(_raster_kernel, skip_losers=skip_losers, **common)
 
     tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), pl.BlockSpec(memory_space=pltpu.ANY)]
@@ -348,9 +609,8 @@ def rasterize_vis_pallas(
         scratch_shapes=[
             pltpu.SMEM((2, RECORD_WIDTH, CHUNK), jnp.int32),
             pltpu.SMEM((2, frecord_width(num_ch), CHUNK), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),
         ]
+        + [pltpu.VMEM((tile_h, tile_w), jnp.int32) for _ in range(3 if two_pass else 2)]
         + [pltpu.VMEM((tile_h, tile_w), jnp.float32) for _ in range(4 + num_ch)]
         + [
             pltpu.SemaphoreType.DMA((2,)),
@@ -380,7 +640,7 @@ def rasterize_vis_pallas(
         b1=crop(b1),
         b2=crop(b2),
     )
-    if channels is None:
+    if num_ch == 0:
         return vis
     interp = jnp.stack([crop(c) for c in chan])
     return vis, interp, crop(invw)

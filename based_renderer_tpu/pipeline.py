@@ -61,6 +61,13 @@ class BlendState:
 
     Blending composites per-draw over the accumulated color buffer:
     out = src * src_factor + dst * dst_factor.
+
+    Semantics note (deferred-visibility renderer): within a single draw
+    only the per-pixel *visibility winner* is blended — overlapping
+    translucent fragments of the same draw do not blend against each
+    other, unlike a Vulkan forward pass.  Multi-layer transparency needs
+    one draw per layer (each draw blends over the accumulated buffer,
+    typically with depth_write=False and back-to-front draw order).
     """
 
     enable: bool = False
@@ -94,15 +101,30 @@ class Pipeline:
     # geometry (e.g. benchmarks) may disable it.
     near_clip: bool = True
     # Static budget of the binned (tile, triangle) pair buffer, as a
-    # multiple of the triangle count.  4x is safe for mixed scenes;
-    # dense small-triangle meshes fit in ~1.5x, and oversizing costs HBM
-    # and gather bandwidth in the binner.  Overflow drops trailing pairs
-    # (debug mode surfaces the overflow flag).
+    # multiple of the triangle count (floor 1024 pairs).  4x is safe for
+    # mixed scenes; dense small-triangle meshes fit in ~1.5x, and
+    # oversizing costs HBM and gather bandwidth in the binner.  On
+    # overflow trailing pairs are dropped from the frame and the flag is
+    # surfaced: FrameResult.overflowed (and Renderer.last_sequence_
+    # overflowed for sequences); RendererConfig.debug mode raises
+    # AllocationError instead.
     raster_pairs_factor: float = 4.0
     # Optional scissor rect (x0, y0, x1, y1), x1/y1 exclusive; None = full
     # framebuffer (the reference bakes a full-extent static scissor,
     # main.cpp:1764-1775).
     scissor: tuple | None = None
+    # Raster tile (tile_w, tile_h) in pixels.  Cost per binned record is
+    # ~proportional to tile area (the kernel evaluates whole tiles on the
+    # VPU), so dense tiny-triangle meshes want short tiles (128, 8) while
+    # big-triangle scenes amortize better on (128, 32).  Both dims must
+    # divide 128 (the anchored-exactness proofs in ops/fixedpoint.py).
+    raster_tile: tuple = (128, 32)
+    # Two-pass rasterization: an int-only visibility pass records the
+    # winning record per pixel, then a replay pass interpolates float
+    # planes only for records that won pixels.  Wins on dense meshes with
+    # many varyings (losers skip all float work); the single-pass kernel
+    # is better for low-record scenes.
+    raster_two_pass: bool = False
     # Skip interpolation/writeback for raster records that win no pixels.
     # Wins on high-overdraw dense meshes (each skipped record saves the
     # f32 plane math); costs one vector reduce per record, so leave off
@@ -117,3 +139,7 @@ class Pipeline:
             raise ValueError(f"bad cull_mode {self.cull_mode!r}; one of {_CULL_MODES}")
         if self.front_face not in _FRONT_FACES:
             raise ValueError(f"bad front_face {self.front_face!r}; one of {_FRONT_FACES}")
+        tw, th = self.raster_tile
+        for d in (tw, th):
+            if d <= 0 or 128 % d:
+                raise ValueError(f"raster_tile dims must divide 128, got {self.raster_tile}")

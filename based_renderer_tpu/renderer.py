@@ -34,7 +34,7 @@ from .ops.vertex import expand_instances, gather_triangles
 from .ops import fixedpoint as fp
 from .pipeline import Pipeline
 from .scene import Mesh, Texture, upload_mesh, upload_texture
-from .utils.errors import DrawError, FrameError
+from .utils.errors import AllocationError, DrawError, FrameError
 
 
 @dataclass(frozen=True)
@@ -77,6 +77,11 @@ class FrameResult:
     color_planar: jnp.ndarray  # (4, H, W) f32, device layout
     depth_q: jnp.ndarray  # (H*s, W*s) int32 quantized depth
     tri_id: jnp.ndarray  # (H*s, W*s) int32
+    # True when any draw's binned (tile, triangle) pair count exceeded its
+    # raster_pairs_factor budget — trailing triangles were dropped.  Always
+    # False on the XLA backend (no pair budget).  In RendererConfig.debug
+    # mode the overflow raises AllocationError in end_frame instead.
+    overflowed: Any = False
 
     @property
     def color(self) -> jnp.ndarray:
@@ -184,13 +189,22 @@ class Renderer:
             self._program_cache[key] = program
         dyn = self._dynamic_args(draws)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        color, depth_q, tri_id = program(dyn, clear_color)
+        color, depth_q, tri_id, overflowed = program(dyn, clear_color)
         if self.config.debug:
+            if bool(overflowed):
+                raise AllocationError(
+                    "raster pair buffer overflow: a draw's (tile, triangle) "
+                    "pair count exceeded its raster_pairs_factor budget, so "
+                    "trailing triangles were dropped; raise "
+                    "Pipeline.raster_pairs_factor"
+                )
             cnp = np.asarray(color)
             if not np.isfinite(cnp).all():
                 raise FrameError("non-finite values in rendered color buffer")
         self.frame_count += 1
-        return FrameResult(color_planar=color, depth_q=depth_q, tri_id=tri_id)
+        return FrameResult(
+            color_planar=color, depth_q=depth_q, tri_id=tri_id, overflowed=overflowed
+        )
 
     def render_frame(self, pipeline, mesh, uniforms=None, instances=None, **clear) -> FrameResult:
         """Convenience: one-draw frame."""
@@ -281,6 +295,7 @@ class Renderer:
             # Pass 1: visibility (rasterize every draw into the shared buffer).
             per_draw = []
             offset = 0
+            overflowed = jnp.bool_(False)
             for i, d in enumerate(dyn):
                 pipe = pipelines[i]
                 mesh = Mesh(attributes=d["attrs"], indices=d["indices"])
@@ -316,6 +331,8 @@ class Renderer:
                         ts,
                         rw,
                         rh,
+                        tile_w=pipe.raster_tile[0],
+                        tile_h=pipe.raster_tile[1],
                         depth_test=pipe.depth.test,
                         depth_compare=pipe.depth.compare,
                         depth_write=pipe.depth.write,
@@ -328,14 +345,17 @@ class Renderer:
                         perspective=pipe.perspective_correct,
                         scissor=self._scaled_scissor(pipe, scale),
                         skip_losers=pipe.raster_skip_losers,
+                        two_pass=pipe.raster_two_pass,
+                        return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
                         interpret=self.device.platform == "cpu",
                     )
                     if channels is None:
-                        vis = out
+                        vis, of = out
                     else:
-                        vis, interp, invw = out
+                        vis, interp, invw, of = out
+                    overflowed = overflowed | of
                 else:
                     vis = raster_xla.rasterize_vis(
                         ts,
@@ -409,7 +429,7 @@ class Renderer:
                 ) * jnp.float32(0.25)
             else:
                 resolved = color
-            return resolved, vis.depth_q, vis.tri_id
+            return resolved, vis.depth_q, vis.tri_id, overflowed
 
         return jax.jit(frame) if jit else frame
 
@@ -464,15 +484,15 @@ class Renderer:
                     d = dict(dyn_seq[0])
                     stat = dyn_seq[0]["static_uniforms"]
                     d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
-                    color, _depth_q, _tri_id = single([d], clear_color)
+                    color, _depth_q, _tri_id, of = single([d], clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
-                    return carry, out
+                    return carry | of, out
 
                 # The dummy ticks carry the frame count even when the
                 # uniforms tree is empty (e.g. the static triangle demo).
                 xs = (dyn_seq[0]["uniforms_seq"], dyn_seq[0]["frame_ticks"])
-                _, outs = jax.lax.scan(body, 0, xs)
-                return outs
+                overflowed, outs = jax.lax.scan(body, jnp.bool_(False), xs)
+                return outs, overflowed
 
             program = jax.jit(seq)
             self._program_cache[key] = program
@@ -486,7 +506,16 @@ class Renderer:
         dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
         dyn[0]["static_uniforms"] = jax.tree.map(self._uniform_leaf, static_uniforms)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        return program(dyn, clear_color)
+        outs, overflowed = program(dyn, clear_color)
+        # Pair-budget overflow across the whole sequence: raise in debug,
+        # expose for callers (e.g. benchmarks validating their budgets).
+        self.last_sequence_overflowed = overflowed
+        if self.config.debug and bool(overflowed):
+            raise AllocationError(
+                "raster pair buffer overflow during render_sequence; raise "
+                "Pipeline.raster_pairs_factor"
+            )
+        return outs
 
     # -- introspection -----------------------------------------------------
 

@@ -105,3 +105,74 @@ def test_renderer_pallas_backend_matches():
     np.testing.assert_array_equal(np.asarray(fx.tri_id), np.asarray(fp_.tri_id))
     np.testing.assert_array_equal(np.asarray(fx.depth_q), np.asarray(fp_.depth_q))
     np.testing.assert_allclose(fx.color_np(), fp_.color_np(), atol=1e-4)
+
+
+def _many_tris_mesh(r, n=1500, seed=5):
+    """n random small triangles as one mesh (soloist vertices, no indices)."""
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-0.9, 0.9, size=(n, 1, 2)).astype(np.float32)
+    d = rng.uniform(-0.05, 0.05, size=(n, 3, 2)).astype(np.float32)
+    xy = (c + d).reshape(-1, 2)
+    pos = np.concatenate(
+        [xy, np.full((3 * n, 1), 0.5, np.float32), np.ones((3 * n, 1), np.float32)], -1
+    )
+    return r.upload_mesh(pos[:, :3], color=np.ones((3 * n, 3), np.float32))
+
+
+def test_overflow_flag_surfaced():
+    """A too-small pair budget must set FrameResult.overflowed, not
+    silently drop triangles; a sufficient budget must not set it."""
+    cfg = brt.RendererConfig(width=96, height=64, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    mesh = _many_tris_mesh(r)
+    tight = brt.Pipeline(shader="ndc_color", raster_pairs_factor=0.01, near_clip=False)
+    res = r.render_frame(tight, mesh, {})
+    assert bool(res.overflowed)
+    roomy = brt.Pipeline(shader="ndc_color", raster_pairs_factor=8.0, near_clip=False)
+    res2 = r.render_frame(roomy, mesh, {})
+    assert not bool(res2.overflowed)
+
+
+def test_overflow_raises_in_debug():
+    cfg = brt.RendererConfig(width=96, height=64, raster_backend="pallas", debug=True)
+    r = brt.Renderer(cfg)
+    mesh = _many_tris_mesh(r)
+    tight = brt.Pipeline(shader="ndc_color", raster_pairs_factor=0.01, near_clip=False)
+    from based_renderer_tpu.utils.errors import AllocationError
+
+    with pytest.raises(AllocationError):
+        r.render_frame(tight, mesh, {})
+
+
+def test_two_pass_kernel_identical():
+    """The two-pass (visibility + replay) kernel must be exactly identical
+    to the single-pass kernel, planes included."""
+    clip = random_clip(4, 40)
+    W, H = 96, 64
+    rng = np.random.default_rng(9)
+    ch = jnp.asarray(rng.uniform(0, 1, size=(40, 3, 4)), jnp.float32)
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    for tile in [(128, 32), (128, 8)]:
+        kw = dict(tile_w=tile[0], tile_h=tile[1], interpret=True, channels=ch)
+        v1, i1, w1 = rasterize_vis_pallas(ts, W, H, **kw)
+        v2, i2, w2 = rasterize_vis_pallas(ts, W, H, two_pass=True, **kw)
+        for k in ("tri_id", "depth_q", "b0", "b1", "b2"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(v1, k)), np.asarray(getattr(v2, k))
+            )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_two_pass_multidraw_init_chain():
+    clip_a = random_clip(1, 10)
+    clip_b = random_clip(2, 14)
+    W, H = 96, 64
+    ts_a = setup_triangles(jnp.asarray(clip_a), W, H)
+    ts_b = setup_triangles(jnp.asarray(clip_b), W, H)
+    vx = rasterize_vis(ts_a, W, H)
+    vx = rasterize_vis(ts_b, W, H, init=vx, id_offset=10)
+    vp = rasterize_vis_pallas(ts_a, W, H, interpret=True, two_pass=True)
+    vp = rasterize_vis_pallas(ts_b, W, H, interpret=True, two_pass=True, init=vp, id_offset=10)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
+    np.testing.assert_array_equal(np.asarray(vx.depth_q), np.asarray(vp.depth_q))
