@@ -43,33 +43,69 @@ from ..ops.vertex import expand_instances, gather_triangles
 from ..scene import Mesh as SceneMesh
 
 
-def _merge_vis_over_axis(vis: VisBuffer, axis: str) -> VisBuffer:
-    """Depth-composite visibility buffers across a mesh axis.
+def _merge_vis_over_axis(vis: VisBuffer, axis: str, depth_state) -> VisBuffer:
+    """Depth-composite visibility buffers across a mesh axis, reproducing
+    the sequential rasterizer's winner semantics for the pipeline's depth
+    state (global triangle ids are disjoint and draw-ordered across a "g"
+    shard, so id comparisons ARE draw-order comparisons).
 
-    Winner = minimum (depth_q, shard, tri_id) lexicographic key, packed
-    into one int64-free scheme: depth_q fits 31 bits; break ties by shard
-    index then tri_id to keep draw-order determinism of the monolithic
-    render (lower global triangle id wins on exact depth ties).
+    * ordered compares with depth test+write ("less"/"greater" families):
+      winner = extremal depth across shards; exact-depth ties go to the
+      lowest id for strict compares (a later fragment at equal depth fails
+      the strict test) and to the highest id for the *_equal compares (a
+      later equal-depth fragment overwrites).
+    * everything else (test or write off, "equal"/"always"/"never"): the
+      per-pixel pass set is shard-independent, so the winner is simply the
+      last-drawn passing fragment = max id ("order merge").
+    * "not_equal" with test+write is inherently sequential (each write
+      changes the next fragment's pass predicate) and cannot be composited
+      from per-shard renders — render_tiled rejects it up front.
     """
-    # Min depth across shards.
-    dmin = jax.lax.pmin(vis.depth_q, axis)
-    mine = vis.depth_q == dmin
+    test, write, compare = depth_state.test, depth_state.write, depth_state.compare
     big = jnp.int32(2**30)
-    # Among shards at dmin, pick the one with the smallest winning tri_id
-    # (global ids are disjoint and ordered across a "g" triangle shard).
-    tid_or_big = jnp.where(mine & (vis.tri_id >= 0), vis.tri_id, big)
-    tid_win = jax.lax.pmin(tid_or_big, axis)
-    won = mine & (tid_or_big == tid_win) & (tid_win < big)
+    depth_merge = test and write and compare in (
+        "less",
+        "less_equal",
+        "greater",
+        "greater_equal",
+    )
+    if depth_merge:
+        reduce_d = jax.lax.pmin if compare.startswith("less") else jax.lax.pmax
+        dbest = reduce_d(vis.depth_q, axis)
+        mine = vis.depth_q == dbest
+        if compare.endswith("_equal"):
+            # Later draw wins exact-depth ties: max id among shards at dbest.
+            tid_or_small = jnp.where(mine & (vis.tri_id >= 0), vis.tri_id, jnp.int32(-1))
+            tid_win = jax.lax.pmax(tid_or_small, axis)
+            won = mine & (tid_or_small == tid_win) & (tid_win >= 0)
+        else:
+            # Strict compare: earlier draw wins ties: min id at dbest.
+            tid_or_big = jnp.where(mine & (vis.tri_id >= 0), vis.tri_id, big)
+            tid_min = jax.lax.pmin(tid_or_big, axis)
+            tid_win = jnp.where(tid_min < big, tid_min, jnp.int32(-1))
+            won = mine & (tid_or_big == tid_min) & (tid_min < big)
+        depth_q = dbest
+    else:
+        # Order merge: last-drawn passing fragment wins; each shard's depth
+        # buffer holds the correct value for its own winner (and the clear/
+        # initial value where uncovered), so propagate the winner's.
+        tid_win = jax.lax.pmax(vis.tri_id, axis)
+        won = (vis.tri_id == tid_win) & (tid_win >= 0)
+        picked_d = jax.lax.pmax(
+            jnp.where(won, vis.depth_q, jnp.int32(-(2**31))), axis
+        )
+        depth_q = jnp.where(tid_win >= 0, picked_d, vis.depth_q)
 
-    def pick(x, neutral):
-        return jax.lax.pmax(jnp.where(won, x, neutral), axis)
+    def pick(x):
+        got = jax.lax.pmax(jnp.where(won, x, jnp.float32(-jnp.inf)), axis)
+        return jnp.where(tid_win >= 0, got, jnp.float32(0.0))
 
     return VisBuffer(
-        tri_id=jnp.where(tid_win < big, tid_win, jnp.int32(-1)),
-        depth_q=dmin,
-        b0=pick(vis.b0, jnp.float32(-jnp.inf)),
-        b1=pick(vis.b1, jnp.float32(-jnp.inf)),
-        b2=pick(vis.b2, jnp.float32(-jnp.inf)),
+        tri_id=tid_win,
+        depth_q=depth_q,
+        b0=pick(vis.b0),
+        b1=pick(vis.b1),
+        b2=pick(vis.b2),
     )
 
 
@@ -93,6 +129,16 @@ def render_tiled(
     over ("y", "x").
     """
     axes = mesh.axis_names
+    if (
+        geometry_axis
+        and pipeline.depth.test
+        and pipeline.depth.write
+        and pipeline.depth.compare == "not_equal"
+    ):
+        raise ValueError(
+            "depth compare 'not_equal' with depth write is sequential per "
+            "pixel and cannot be composited across a geometry axis"
+        )
     ny = mesh.shape["y"]
     nx = mesh.shape["x"]
     if height % ny or width % nx:
@@ -128,11 +174,12 @@ def render_tiled(
             depth_compare=pipeline.depth.compare,
             depth_write=pipeline.depth.write,
             depth_clip=pipeline.depth.clip,
+            depth_clear=clear_depth,
             id_offset=id_off,
             origin=(x0, y0),
         )
         if geometry_axis:
-            vis = _merge_vis_over_axis(vis, geometry_axis)
+            vis = _merge_vis_over_axis(vis, geometry_axis, pipeline.depth)
             # After the merge every "g" shard holds the global winner; the
             # winning shard's barycentrics were propagated, but varyings
             # live on the owner shard — gather them by re-localizing ids.
