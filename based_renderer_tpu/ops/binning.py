@@ -50,7 +50,16 @@ from . import fixedpoint as fp
 from .setup import TriSetup, depth_tile_anchor
 
 RECORD_WIDTH = 16
+# MSAA-4x records additionally carry the raw per-subpixel edge coefficients
+# (A0..A2, B0..B2 at fields 16..21) so the kernel can step the pixel-center
+# edge values to the four sample positions; padded to 24 (int32 sublane
+# tiling requires slice widths % 8 == 0).
+RECORD_WIDTH_MSAA = 24
 FRECORD_BASE = 9  # b0 plane, b1 plane, invw plane
+
+
+def record_width(msaa4: bool) -> int:
+    return RECORD_WIDTH_MSAA if msaa4 else RECORD_WIDTH
 
 
 def frecord_width(num_channels: int) -> int:
@@ -163,6 +172,7 @@ def bin_triangles(
     id_offset: int = 0,
     channels=None,
     perspective: bool = True,
+    msaa4: bool = False,
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -182,9 +192,10 @@ def bin_triangles(
         max_pairs = max(4 * num_tris, 1024)
     padded_pairs = max_pairs + SEGMENT_ALIGN  # tail pad for DMA overrun only
     fw = frecord_width(0 if channels is None else channels.shape[-1])
+    rw_rec = record_width(msaa4)
     if num_tris == 0:
         return BinnedTriangles(
-            records=jnp.zeros((RECORD_WIDTH, padded_pairs), jnp.int32),
+            records=jnp.zeros((rw_rec, padded_pairs), jnp.int32),
             frecords=jnp.zeros((fw, padded_pairs), jnp.float32),
             tile_start=jnp.zeros((num_tiles,), jnp.int32),
             tile_count=jnp.zeros((num_tiles,), jnp.int32),
@@ -283,6 +294,11 @@ def bin_triangles(
     rec_cols += [jnp.where(invalid, 0, a_s[i] * scale) for i in range(3)]
     rec_cols += [jnp.where(invalid, 0, b_s[i] * scale) for i in range(3)]
     rec_cols += [zo, dzx, dzy, zshift, tid, jnp.zeros_like(tid), jnp.zeros_like(tid)]
+    if msaa4:
+        # Raw (per-subpixel) edge coefficients for sample-position stepping.
+        rec_cols += [jnp.where(invalid, 0, a_s[i]) for i in range(3)]
+        rec_cols += [jnp.where(invalid, 0, b_s[i]) for i in range(3)]
+        rec_cols += [jnp.zeros_like(tid), jnp.zeros_like(tid)]
     records = jnp.pad(jnp.stack(rec_cols, axis=0), ((0, 0), (0, SEGMENT_ALIGN)))
 
     # Planes: re-anchor from pixel (0,0) to the tile origin (pure arith).

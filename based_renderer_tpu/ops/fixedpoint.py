@@ -52,6 +52,28 @@ ANCHOR_CLAMP = (1 << 30) - 1  # tile-anchor clamp window (see module docstring)
 MAX_TILE_PIX = 128  # largest tile for which the int32 stepping proof holds
 
 # ---------------------------------------------------------------------------
+# MSAA-4x sample positions (the Vulkan/D3D standard 4x pattern — rotated
+# grid), in 1/16-px subpixel units within the pixel: (6,2) (14,6) (2,10)
+# (10,14), i.e. (0.375,0.125) (0.875,0.375) (0.125,0.625) (0.625,0.875).
+# Stored as offsets from the pixel CENTER (8,8), so per-sample edge and
+# depth values derive from the pixel-center records by pure stepping.
+#
+# Proof extension (coverage): in-tile pixel-center deltas are dx,dy <=
+# 127*16 = 2032 subpixel units; with the sample offsets (|ddx|,|ddy| <= 6)
+#   |A*(dx+ddx) + B*(dy+ddy)| <= 2*(2^18-1)*2038 = 1,068,494,868 < 2^30-1
+# so the clamped-anchor sign-class argument still holds, and
+# (2^30-1) + 1,068,494,868 = 2,142,236,691 < 2^31-1 rules out overflow.
+#
+# Proof extension (depth): per-sample depth is DEFINED as
+#   z_u_s = z_u + ((dzdx_q*ddx + dzdy_q*ddy) >> 4)        (arithmetic shift)
+# with |dz_s| <= (2*6*(2^21-1)) >> 4 = 1,572,863, so the in-tile variation
+# bound becomes V' = 2*(2^21-1)*127 + 1,572,863 = 534,249,217 < 2^29 and
+# the value-exactness proof in the depth spec below goes through unchanged.
+# ---------------------------------------------------------------------------
+MSAA4_OFFSETS = ((-2, -6), (6, -2), (-6, 2), (2, 6))  # (ddx, ddy) from center
+MSAA4_BBOX_PAD_FP = 6  # bbox widening (subpixel units): max |offset| above
+
+# ---------------------------------------------------------------------------
 # Integer depth spec (D24-style, like the reference's D24S8 depth image at
 # /root/reference/src/main.cpp:1472-1484).
 #

@@ -27,11 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import fixedpoint as fp
-from .binning import FRECORD_BASE, RECORD_WIDTH, bin_triangles, frecord_width
+from .binning import FRECORD_BASE, bin_triangles, frecord_width, record_width
 from .raster_xla import VisBuffer
 from .setup import TriSetup
 
 CHUNK = 128  # records DMA'd per step
+NUM_SAMPLES = 4  # MSAA-4x sample count (fp.MSAA4_OFFSETS)
 
 
 def _depth_cmp(compare: str, z, zbuf):
@@ -434,6 +435,229 @@ def _raster_kernel_two_pass(
         cr[:] = ch[:]
 
 
+def _raster_kernel_msaa4(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    records_hbm,  # (RECORD_WIDTH_MSAA, MAXPAIRS) int32, stays in HBM
+    frecords_hbm,  # (FRECORD_WIDTH, MAXPAIRS) f32, stays in HBM
+    *rest,
+    tile_w: int,
+    tile_h: int,
+    num_tx: int,
+    depth_test: bool,
+    depth_compare: str,
+    depth_write: bool,
+    depth_clip: bool,
+    clear_depth_q: int,
+    has_init: bool,
+    num_channels: int,
+    scissor,
+):
+    """Coverage-sample MSAA-4x rasterization, two-pass.
+
+    Pass 1 evaluates coverage and quantized depth independently at the
+    four standard sample positions (fp.MSAA4_OFFSETS) — per-sample values
+    derive from the shared pixel-center edge/depth planes by *scalar*
+    per-record offsets, so the vector cost per record is ~the sample
+    count's int selects, not 4x full rasterization.  Pass 2 replays the
+    float attribute planes once per surviving record at the pixel CENTER
+    (true multisampling: shade once per fragment) and scatters them into
+    each sample layer the record won.  The reference merely configures
+    this stage (multisample state, /root/reference/src/main.cpp:1790).
+    """
+    nout = 6 + num_channels
+    ninit = 5 if has_init else 0
+    init_refs = rest[:ninit]
+    outs = rest[ninit : ninit + nout]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
+    chan_refs = outs[6:]
+    scratch = rest[ninit + nout :]
+    chunk_vmem, fchunk_vmem, zs, ids, widx, b0s, b1s, b2s, iws = scratch[:9]
+    chs = scratch[9 : 9 + num_channels]
+    sems, fsems = scratch[9 + num_channels :]
+    S = NUM_SAMPLES
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * num_tx + tx
+    raw_start = tile_start_ref[tile]
+    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+    skip = raw_start - start
+    count = tile_count_ref[tile] + skip
+
+    if has_init:
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        ids[:] = i_id[:]
+        zs[:] = i_z[:]
+        b0s[:] = i_b0[:]
+        b1s[:] = i_b1[:]
+        b2s[:] = i_b2[:]
+    else:
+        zs[:] = jnp.full((S, tile_h, tile_w), jnp.int32(clear_depth_q))
+        ids[:] = jnp.full((S, tile_h, tile_w), jnp.int32(-1))
+        b0s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
+        b1s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
+        b2s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
+    widx[:] = jnp.full((S, tile_h, tile_w), jnp.int32(-1))
+    iws[:] = jnp.ones((S, tile_h, tile_w), jnp.float32)
+    for ch in chs:
+        ch[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    if scissor is not None:
+        sx0, sy0, sx1, sy1 = scissor
+        gx_pix = ix + tx * tile_w
+        gy_pix = iy + ty * tile_h
+        scissor_mask = (gx_pix >= sx0) & (gx_pix < sx1) & (gy_pix >= sy0) & (gy_pix < sy1)
+    else:
+        scissor_mask = None
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def get_fdma(slot, c):
+        return pltpu.make_async_copy(
+            frecords_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            fchunk_vmem.at[slot],
+            fsems.at[slot],
+        )
+
+    # ---- pass 1: per-sample int visibility ---------------------------------
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+
+        def rec_body(i, _):
+            def f(j):
+                return chunk_vmem[slot, j, i]  # scalar field read
+
+            # Shared pixel-center planes (bias folded into e*).
+            e0 = f(0) + f(3) * ix + f(6) * iy
+            e1 = f(1) + f(4) * ix + f(7) * iy
+            e2 = f(2) + f(5) * ix + f(8) * iy
+            zshift = f(12)
+            z_u = f(9) + f(10) * ix + f(11) * iy
+            hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+            tid = f(13)
+            for s, (ddx, ddy) in enumerate(fp.MSAA4_OFFSETS):
+                # Scalar per-sample offsets (spec: fp.MSAA4_OFFSETS proofs).
+                o0 = f(16) * ddx + f(19) * ddy
+                o1 = f(17) * ddx + f(20) * ddy
+                o2 = f(18) * ddx + f(21) * ddy
+                covered = (e0 + o0 >= 0) & (e1 + o1 >= 0) & (e2 + o2 >= 0)
+                if scissor_mask is not None:
+                    covered = covered & scissor_mask
+                dz = jnp.right_shift(f(10) * ddx + f(11) * ddy, 4)
+                z = (
+                    jnp.left_shift(jnp.clip(z_u + dz, -hi, hi), zshift)
+                    + jnp.int32(1 << 29)
+                )
+                if depth_clip:
+                    covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+                if depth_test:
+                    passes = covered & _depth_cmp(depth_compare, z, zs[s])
+                else:
+                    passes = covered
+                if depth_write:
+                    zs[s] = jnp.where(passes, z, zs[s])
+                ids[s] = jnp.where(passes, tid, ids[s])
+                widx[s] = jnp.where(passes, c * CHUNK + i, widx[s])
+            return 0
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    # ---- pass 2: pixel-center float planes for surviving records ----------
+    win_max = jnp.max(widx[:])
+
+    @pl.when(win_max >= 0)
+    def _():
+        get_fdma(0, 0).start()
+
+    last_chunk = win_max // CHUNK  # -1 when no winners
+
+    def fchunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 <= last_chunk)
+        def _():
+            get_fdma((c + 1) % 2, c + 1).start()
+
+        get_fdma(slot, c).wait()
+
+        def rec_body(i, _):
+            rec = c * CHUNK + i
+            masks = [widx[s] == rec for s in range(NUM_SAMPLES)]
+            any_mask = masks[0]
+            for m in masks[1:]:
+                any_mask = any_mask | m
+
+            @pl.when(jnp.any(any_mask))
+            def _():
+                def ff(j):
+                    return fchunk_vmem[slot, j, i]
+
+                ixf = ix.astype(jnp.float32)
+                iyf = iy.astype(jnp.float32)
+
+                def plane(off):
+                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+
+                nb0 = plane(0)
+                nb1 = plane(3)
+                nb2 = (1.0 - nb0) - nb1
+                niw = plane(6)
+                nch = [plane(FRECORD_BASE + 3 * ci) for ci in range(num_channels)]
+                for s in range(NUM_SAMPLES):
+                    m = masks[s]
+                    b0s[s] = jnp.where(m, nb0, b0s[s])
+                    b1s[s] = jnp.where(m, nb1, b1s[s])
+                    b2s[s] = jnp.where(m, nb2, b2s[s])
+                    iws[s] = jnp.where(m, niw, iws[s])
+                    for ci, ch in enumerate(chs):
+                        ch[s] = jnp.where(m, nch[ci], ch[s])
+
+            return 0
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, last_chunk + 1, fchunk_body, 0, unroll=False)
+
+    tri_id_ref[:] = ids[:]
+    depth_ref[:] = zs[:]
+    b0_ref[:] = b0s[:]
+    b1_ref[:] = b1s[:]
+    b2_ref[:] = b2s[:]
+    invw_ref[:] = iws[:]
+    for cr, ch in zip(chan_refs, chs):
+        cr[:] = ch[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -453,6 +677,7 @@ def _raster_kernel_two_pass(
         "skip_losers",
         "return_overflow",
         "two_pass",
+        "msaa4",
     ),
 )
 def rasterize_vis_pallas(
@@ -476,6 +701,7 @@ def rasterize_vis_pallas(
     skip_losers: bool = False,
     return_overflow: bool = False,
     two_pass: bool = False,
+    msaa4: bool = False,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -492,6 +718,12 @@ def rasterize_vis_pallas(
     return_overflow: also append the binner's overflow flag (a () bool
     that is True when the true (tile, triangle) pair count exceeded
     max_pairs, i.e. trailing triangles were dropped from the frame).
+
+    msaa4: coverage-sample MSAA-4x — every VisBuffer field (and invw /
+    interp layers) gains a leading sample axis of 4, holding per-sample
+    coverage and depth at the standard sample positions with attributes
+    evaluated at the pixel center (see _raster_kernel_msaa4); bit-identical
+    to reference.oracle.rasterize_msaa4.
     """
     num_ch = 0 if channels is None else channels.shape[-1]
     binned = bin_triangles(
@@ -504,6 +736,7 @@ def rasterize_vis_pallas(
         id_offset,
         channels=channels,
         perspective=perspective,
+        msaa4=msaa4,
     )
     out = rasterize_binned(
         binned,
@@ -522,6 +755,7 @@ def rasterize_vis_pallas(
         scissor=scissor,
         skip_losers=skip_losers,
         two_pass=two_pass,
+        msaa4=msaa4,
     )
     if not return_overflow:
         return out
@@ -547,6 +781,7 @@ def rasterize_binned(
     scissor=None,
     skip_losers: bool = False,
     two_pass: bool = False,
+    msaa4: bool = False,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -562,6 +797,7 @@ def rasterize_binned(
     clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
     has_init = init is not None
     num_ch = num_channels
+    S = NUM_SAMPLES
 
     # Segments are SEGMENT_ALIGN-padded by the binner, so CHUNK-rounded
     # DMA slices stay in bounds.
@@ -581,25 +817,44 @@ def rasterize_binned(
         num_channels=num_ch,
         scissor=scissor,
     )
-    if two_pass:
+    if msaa4:
+        kernel = functools.partial(_raster_kernel_msaa4, **common)
+    elif two_pass:
         kernel = functools.partial(_raster_kernel_two_pass, **common)
     else:
         kernel = functools.partial(_raster_kernel, skip_losers=skip_losers, **common)
 
-    tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
+    if msaa4:
+        tile_block = lambda: pl.BlockSpec(
+            (S, tile_h, tile_w), lambda ty, tx, *_: (0, ty, tx)
+        )
+        plane = lambda: (S, tile_h, tile_w)
+        out_dims = (S, pad_h, pad_w)
+        pad_init = lambda x, cval: jnp.pad(
+            x, ((0, 0), (0, pad_h - height), (0, pad_w - width)), constant_values=cval
+        )
+    else:
+        tile_block = lambda: pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
+        plane = lambda: (tile_h, tile_w)
+        out_dims = (pad_h, pad_w)
+        pad_init = lambda x, cval: jnp.pad(
+            x, ((0, pad_h - height), (0, pad_w - width)), constant_values=cval
+        )
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), pl.BlockSpec(memory_space=pltpu.ANY)]
     inputs = [binned.tile_start, binned.tile_count, records, frecords]
     if has_init:
-        pad_spec = ((0, pad_h - height), (0, pad_w - width))
         inputs += [
-            jnp.pad(init.tri_id, pad_spec, constant_values=-1),
-            jnp.pad(init.depth_q, pad_spec, constant_values=clear_q),
-            jnp.pad(init.b0, pad_spec),
-            jnp.pad(init.b1, pad_spec),
-            jnp.pad(init.b2, pad_spec),
+            pad_init(init.tri_id, -1),
+            pad_init(init.depth_q, clear_q),
+            pad_init(init.b0, 0),
+            pad_init(init.b1, 0),
+            pad_init(init.b2, 0),
         ]
         in_specs += [tile_block() for _ in range(5)]
 
+    # Two-pass variants carry a winner-index plane; the single-pass kernel
+    # does not.
+    n_int_scratch = 3 if (two_pass or msaa4) else 2
     nout = 6 + num_ch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -607,11 +862,11 @@ def rasterize_binned(
         in_specs=in_specs,
         out_specs=[tile_block() for _ in range(nout)],
         scratch_shapes=[
-            pltpu.SMEM((2, RECORD_WIDTH, CHUNK), jnp.int32),
+            pltpu.SMEM((2, record_width(msaa4), CHUNK), jnp.int32),
             pltpu.SMEM((2, frecord_width(num_ch), CHUNK), jnp.float32),
         ]
-        + [pltpu.VMEM((tile_h, tile_w), jnp.int32) for _ in range(3 if two_pass else 2)]
-        + [pltpu.VMEM((tile_h, tile_w), jnp.float32) for _ in range(4 + num_ch)]
+        + [pltpu.VMEM(plane(), jnp.int32) for _ in range(n_int_scratch)]
+        + [pltpu.VMEM(plane(), jnp.float32) for _ in range(4 + num_ch)]
         + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -619,9 +874,9 @@ def rasterize_binned(
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-        jax.ShapeDtypeStruct((pad_h, pad_w), jnp.int32),
-    ] + [jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32) for _ in range(nout - 2)]
+        jax.ShapeDtypeStruct(out_dims, jnp.int32),
+        jax.ShapeDtypeStruct(out_dims, jnp.int32),
+    ] + [jax.ShapeDtypeStruct(out_dims, jnp.float32) for _ in range(nout - 2)]
 
     outs = pl.pallas_call(
         kernel,
@@ -632,7 +887,7 @@ def rasterize_binned(
     tri_id, depth_q, b0, b1, b2, invw = outs[:6]
     chan = outs[6:]
 
-    crop = lambda x: x[:height, :width]
+    crop = lambda x: x[..., :height, :width]
     vis = VisBuffer(
         tri_id=crop(tri_id),
         depth_q=crop(depth_q),

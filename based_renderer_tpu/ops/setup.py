@@ -72,6 +72,7 @@ def setup_triangles(
     front_face: str = "ccw",
     w_eps: float = 1e-6,
     scissor=None,
+    bbox_pad_fp: int = 0,
 ) -> TriSetup:
     """Vectorized triangle setup.
 
@@ -87,6 +88,10 @@ def setup_triangles(
         bboxes are clamped into it, and rasterizers must also mask
         coverage to it (the dynamic-scissor analog of main.cpp:1764-1775,
         where the reference bakes a full-extent static scissor).
+      bbox_pad_fp: widen the pixel bbox by this many subpixel (1/16-px)
+        units on every side — fp.MSAA4_BBOX_PAD_FP for coverage-sample
+        MSAA, whose sample positions extend up to 6/16 px beyond the
+        pixel center (mirrored by the oracle).
     """
     x, y, z, w = clip_pos[..., 0], clip_pos[..., 1], clip_pos[..., 2], clip_pos[..., 3]
     w_ok = jnp.all(w > jnp.float32(w_eps), axis=-1)
@@ -152,10 +157,11 @@ def setup_triangles(
     max_yf = jnp.max(yf, axis=-1)
     sc = fp.SUBPIXEL_SCALE
     hp = fp.HALF_PIXEL
-    x0 = jnp.floor_divide(min_xf - hp + (sc - 1), sc)
-    y0 = jnp.floor_divide(min_yf - hp + (sc - 1), sc)
-    x1 = jnp.floor_divide(max_xf - hp, sc) + 1  # exclusive
-    y1 = jnp.floor_divide(max_yf - hp, sc) + 1
+    pad = int(bbox_pad_fp)
+    x0 = jnp.floor_divide(min_xf - pad - hp + (sc - 1), sc)
+    y0 = jnp.floor_divide(min_yf - pad - hp + (sc - 1), sc)
+    x1 = jnp.floor_divide(max_xf + pad - hp, sc) + 1  # exclusive
+    y1 = jnp.floor_divide(max_yf + pad - hp, sc) + 1
     sx0, sy0, sx1, sy1 = (0, 0, width, height) if scissor is None else scissor
     x0 = jnp.clip(x0, sx0, sx1)
     y0 = jnp.clip(y0, sy0, sy1)

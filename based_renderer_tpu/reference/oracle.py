@@ -80,6 +80,11 @@ def _i64_pair_to_f32(v) -> np.ndarray:
     return np.float32(hi_adj * np.float32(4294967296.0) + lo_s.astype(np.float32))
 
 
+# MSAA-4x sample offsets from the pixel center, 1/16-px units (must match
+# ops/fixedpoint.py MSAA4_OFFSETS — the Vulkan standard 4x rotated grid).
+MSAA4_OFFSETS = ((-2, -6), (6, -2), (-6, 2), (2, 6))
+
+
 def rasterize(
     clip_pos: np.ndarray,
     width: int,
@@ -103,11 +108,87 @@ def rasterize(
       depth:   (H, W) float32 — depth_q converted to [0, 1].
       bary:    (H, W, 3) float32 — barycentric weights of the winner.
     """
+    out = _rasterize_samples(
+        clip_pos,
+        width,
+        height,
+        ((0, 0),),
+        cull_mode,
+        front_face,
+        depth_test,
+        depth_compare,
+        depth_write,
+        depth_clear,
+        depth_clip,
+        w_eps,
+    )
+    return {k: v[0] for k, v in out.items()}
+
+
+def rasterize_msaa4(
+    clip_pos: np.ndarray,
+    width: int,
+    height: int,
+    cull_mode: str = "none",
+    front_face: str = "ccw",
+    depth_test: bool = True,
+    depth_compare: str = "less",
+    depth_write: bool = True,
+    depth_clear: float = 1.0,
+    depth_clip: bool = True,
+    w_eps: float = 1e-6,
+):
+    """MSAA-4x rasterization: per-SAMPLE coverage and depth, per-PIXEL
+    attributes.
+
+    Coverage and the depth test run independently at the four standard
+    sample positions (MSAA4_OFFSETS); per-sample depth is the quantized
+    plane value stepped by ((dzdx_q*ddx + dzdy_q*ddy) >> 4) per the proof
+    extension in ops/fixedpoint.py.  Barycentrics (the attribute-
+    interpolation inputs) are evaluated once at the pixel CENTER of each
+    sample's winner — true multisampling semantics (shade once per
+    fragment), unlike 2x2 supersampling.
+
+    Returns dict of (4, H, W[, 3]) per-sample buffers.
+    """
+    return _rasterize_samples(
+        clip_pos,
+        width,
+        height,
+        MSAA4_OFFSETS,
+        cull_mode,
+        front_face,
+        depth_test,
+        depth_compare,
+        depth_write,
+        depth_clear,
+        depth_clip,
+        w_eps,
+    )
+
+
+def _rasterize_samples(
+    clip_pos,
+    width,
+    height,
+    sample_offsets,
+    cull_mode,
+    front_face,
+    depth_test,
+    depth_compare,
+    depth_write,
+    depth_clear,
+    depth_clip,
+    w_eps,
+):
     clip_pos = np.asarray(clip_pos, np.float32)
     num_tris = clip_pos.shape[0]
-    tri_id = np.full((height, width), -1, np.int32)
-    depth_buf = np.full((height, width), np.int32(round(depth_clear * DEPTH_ONE_Q)), np.int32)
-    bary_buf = np.zeros((height, width, 3), np.float32)
+    ns = len(sample_offsets)
+    tri_id = np.full((ns, height, width), -1, np.int32)
+    depth_buf = np.full(
+        (ns, height, width), np.int32(round(depth_clear * DEPTH_ONE_Q)), np.int32
+    )
+    bary_buf = np.zeros((ns, height, width, 3), np.float32)
     cmp_fn = _COMPARES[depth_compare]
 
     for t in range(num_tris):
@@ -148,11 +229,14 @@ def rasterize(
             a, b, area2 = -a, -b, -area2
         bias = np.where((a < 0) | ((a == 0) & (b < 0)), np.int64(0), np.int64(-1))
 
-        # Pixel bbox (pixel center px+0.5 covered iff px*16+8 within extent).
-        x0 = max(0, -(-(int(xf.min()) - HALF_PIXEL) // SUBPIXEL_SCALE))
-        y0 = max(0, -(-(int(yf.min()) - HALF_PIXEL) // SUBPIXEL_SCALE))
-        x1 = min(width, (int(xf.max()) - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
-        y1 = min(height, (int(yf.max()) - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
+        # Pixel bbox (pixel center px+0.5 covered iff px*16+8 within extent),
+        # widened by the sample extent for multisampling (samples reach up
+        # to |pad| subpixel units beyond the pixel center).
+        pad = max(max(abs(dx), abs(dy)) for dx, dy in sample_offsets)
+        x0 = max(0, -(-(int(xf.min()) - pad - HALF_PIXEL) // SUBPIXEL_SCALE))
+        y0 = max(0, -(-(int(yf.min()) - pad - HALF_PIXEL) // SUBPIXEL_SCALE))
+        x1 = min(width, (int(xf.max()) + pad - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
+        y1 = min(height, (int(yf.max()) + pad - HALF_PIXEL) // SUBPIXEL_SCALE + 1)
         if x1 <= x0 or y1 <= y0:
             continue
 
@@ -185,8 +269,21 @@ def rasterize(
         dx = px[None, :] - xf[:, None]  # (3, bw)
         dy = py[None, :] - yf[:, None]  # (3, bh)
         e = a[:, None, None] * dx[:, None, :] + b[:, None, None] * dy[:, :, None]
-        covered = np.all(e + bias[:, None, None] >= 0, axis=0)  # (bh, bw)
-        if not covered.any():
+        # Per-sample coverage: step the exact pixel-center edge values by
+        # the sample offsets (ddx, ddy), still exact int64.
+        covered_s = np.stack(
+            [
+                np.all(
+                    e
+                    + (a * np.int64(ddx) + b * np.int64(ddy))[:, None, None]
+                    + bias[:, None, None]
+                    >= 0,
+                    axis=0,
+                )
+                for ddx, ddy in sample_offsets
+            ]
+        )  # (S, bh, bw)
+        if not covered_s.any():
             continue
 
         # Per-pixel quantized depth from canonical 128-px tile anchors.
@@ -214,25 +311,33 @@ def rasterize(
             + dzdy_q * (pys - anchor_y)[:, None]
         )
         hi_c = mid_u + 1
-        zpix = ((np.clip(z_u, -hi_c, hi_c) << zshift) + np.int64(1 << 29)).astype(np.int32)
-
-        if depth_clip:
-            covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)
-        window_d = depth_buf[y0:y1, x0:x1]
-        passes = covered & (cmp_fn(zpix, window_d) if depth_test else True)
-        # Barycentrics of surviving pixels (attribute interpolation inputs;
+        # Barycentrics at the pixel CENTER (attribute interpolation inputs;
         # not part of the bit-identity contract but computed with the same
-        # deterministic formula as the device path).
+        # deterministic formula as the device path).  MSAA semantics: every
+        # sample a fragment wins shades with pixel-center attributes.
         e_f = _i64_pair_to_f32(e)
         b0 = e_f[1] * inv_area
         b1 = e_f[2] * inv_area
         b2 = e_f[0] * inv_area
+        bary_t = np.stack([b0, b1, b2], axis=-1)
 
-        tri_id[y0:y1, x0:x1][passes] = t
-        if depth_write:
-            window_d[passes] = zpix[passes]
-        bw = bary_buf[y0:y1, x0:x1]
-        bw[passes] = np.stack([b0, b1, b2], axis=-1)[passes]
+        for s, (ddx, ddy) in enumerate(sample_offsets):
+            # Per-sample quantized depth (spec: ops/fixedpoint.py MSAA
+            # proof extension — arithmetic shift = floor).
+            dz_s = (dzdx_q * np.int64(ddx) + dzdy_q * np.int64(ddy)) >> np.int64(4)
+            zpix = ((np.clip(z_u + dz_s, -hi_c, hi_c) << zshift) + np.int64(1 << 29)).astype(
+                np.int32
+            )
+            covered = covered_s[s]
+            if depth_clip:
+                covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)
+            window_d = depth_buf[s, y0:y1, x0:x1]
+            passes = covered & (cmp_fn(zpix, window_d) if depth_test else True)
+            tri_id[s, y0:y1, x0:x1][passes] = t
+            if depth_write:
+                window_d[passes] = zpix[passes]
+            bw = bary_buf[s, y0:y1, x0:x1]
+            bw[passes] = bary_t[passes]
 
     return {
         "tri_id": tri_id,

@@ -44,7 +44,12 @@ class RendererConfig:
 
     width: int = 800
     height: int = 600
-    msaa: int = 1  # 1 or 4; 4 renders visibility/shading at 2x2 per pixel
+    # 1 or 4.  msaa=4 on the Pallas backend runs coverage-sample MSAA
+    # in-kernel (per-sample visibility at the Vulkan standard sample
+    # positions, attributes at the pixel center — the analog of the
+    # multisample state the reference configures, main.cpp:1790); the XLA
+    # backend approximates it with 2x2 ordered-grid supersampling.
+    msaa: int = 1
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)  # main.cpp clears to black
     clear_depth: float = 1.0
     debug: bool = False  # NaN/shape validation (the validation-layer analog)
@@ -75,8 +80,11 @@ class FrameResult:
     """
 
     color_planar: jnp.ndarray  # (4, H, W) f32, device layout
-    depth_q: jnp.ndarray  # (H*s, W*s) int32 quantized depth
-    tri_id: jnp.ndarray  # (H*s, W*s) int32
+    # Visibility buffers.  msaa=1: (H, W).  msaa=4 on the Pallas backend:
+    # (4, H, W) per-sample layers (coverage-sample MSAA); on the XLA
+    # backend: (2H, 2W) supersampled.
+    depth_q: jnp.ndarray  # int32 quantized depth
+    tri_id: jnp.ndarray  # int32
     # True when any draw's binned (tile, triangle) pair count exceeded its
     # raster_pairs_factor budget — trailing triangles were dropped.  Always
     # False on the XLA backend (no pair budget).  In RendererConfig.debug
@@ -278,19 +286,27 @@ class Renderer:
     def _build_program(self, draws, clear_depth: float = 1.0, jit: bool = True):
         cfg = self.config
         clear_depth_q = jnp.int32(round(clear_depth * fp.DEPTH_ONE_Q))
-        scale = 2 if cfg.msaa == 4 else 1
+        use_pallas = self._use_pallas()
+        # MSAA-4x: the Pallas backend runs true coverage-sample multisampling
+        # in-kernel (per-sample visibility at the standard sample positions,
+        # attributes/shading once per pixel — see ops/raster_pallas.py
+        # _raster_kernel_msaa4); the XLA backend falls back to 2x2 ordered-
+        # grid supersampling with a box resolve.
+        coverage_msaa = cfg.msaa == 4 and use_pallas
+        scale = 2 if (cfg.msaa == 4 and not coverage_msaa) else 1
+        nsamp = 4 if coverage_msaa else 1
         rw, rh = cfg.width * scale, cfg.height * scale
         pipelines = [d.pipeline for d in draws]
         shaders = [shader_lib.get(p.shader) for p in pipelines]
-        use_pallas = self._use_pallas()
 
         def frame(dyn, clear_color):
+            fbs = (nsamp, rh, rw) if coverage_msaa else (rh, rw)
             vis = VisBuffer(
-                tri_id=jnp.full((rh, rw), -1, jnp.int32),
-                depth_q=jnp.full((rh, rw), clear_depth_q),
-                b0=jnp.zeros((rh, rw), jnp.float32),
-                b1=jnp.zeros((rh, rw), jnp.float32),
-                b2=jnp.zeros((rh, rw), jnp.float32),
+                tri_id=jnp.full(fbs, -1, jnp.int32),
+                depth_q=jnp.full(fbs, clear_depth_q),
+                b0=jnp.zeros(fbs, jnp.float32),
+                b1=jnp.zeros(fbs, jnp.float32),
+                b2=jnp.zeros(fbs, jnp.float32),
             )
             # Pass 1: visibility (rasterize every draw into the shared buffer).
             per_draw = []
@@ -313,6 +329,7 @@ class Renderer:
                     cull_mode=pipe.cull_mode,
                     front_face=pipe.front_face,
                     scissor=self._scaled_scissor(pipe, scale),
+                    bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP if coverage_msaa else 0,
                 )
                 interp = invw = None
                 var_keys = sorted(var_tri)
@@ -346,6 +363,7 @@ class Renderer:
                         scissor=self._scaled_scissor(pipe, scale),
                         skip_losers=pipe.raster_skip_losers,
                         two_pass=pipe.raster_two_pass,
+                        msaa4=coverage_msaa,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
@@ -373,33 +391,52 @@ class Renderer:
                 offset += ts.valid.shape[0]
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
-            # Color is planar (4, rh, rw) on device (see _blend docstring).
-            color = jnp.broadcast_to(
-                clear_color.astype(jnp.float32)[:, None, None], (4, rh, rw)
+            # Color is planar (4, rh, rw) on device (see _blend docstring);
+            # coverage MSAA carries a leading per-sample axis (S, 4, rh, rw)
+            # until the resolve.
+            cshape = (nsamp, 4, rh, rw) if coverage_msaa else (4, rh, rw)
+            clear = clear_color.astype(jnp.float32).reshape(
+                (1,) * (len(cshape) - 3) + (4, 1, 1)
             )
+            color = jnp.broadcast_to(clear, cshape)
             for i, d in enumerate(dyn):
                 ts, var_tri, off, ntri, interp, invw = per_draw[i]
                 pipe = pipelines[i]
                 mask = (vis.tri_id >= off) & (vis.tri_id < off + ntri)
                 local = jnp.where(mask, vis.tri_id - off, -1)
                 vis_local = vis._replace(tri_id=local)
-                if interp is not None:
+                if interp is not None or coverage_msaa:
                     # Gather-free shading: attributes were interpolated by
-                    # the raster kernel as screen-space planes.
+                    # the raster kernel as screen-space planes.  (With
+                    # coverage MSAA every array gains a leading sample axis
+                    # and the fragment shader is vmapped over it: attributes
+                    # were evaluated at the pixel center of each sample's
+                    # winner — shading cost is per sample layer, raster and
+                    # binning cost are per pixel.)
                     frag = {}
-                    if pipe.perspective_correct:
-                        denom = jnp.where(invw == 0, jnp.float32(1.0), invw)
-                        interp_vals = interp / denom[None]
-                    else:
-                        interp_vals = interp
-                    c0 = 0
-                    for k in sorted(var_tri):
-                        c = var_tri[k].shape[-1]
-                        frag[k] = jnp.moveaxis(interp_vals[c0 : c0 + c], 0, -1)
-                        c0 += c
+                    if interp is not None:
+                        if pipe.perspective_correct:
+                            denom = jnp.where(invw == 0, jnp.float32(1.0), invw)
+                            interp_vals = interp / denom[None]
+                        else:
+                            interp_vals = interp
+                        c0 = 0
+                        for k in sorted(var_tri):
+                            c = var_tri[k].shape[-1]
+                            frag[k] = jnp.moveaxis(interp_vals[c0 : c0 + c], 0, -1)
+                            c0 += c
                     frag["tri_id"] = vis_local.tri_id
                     frag["depth"] = vis_local.depth
                     frag["bary"] = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)
+                    if coverage_msaa:
+                        uni = d["uniforms"]
+                        rgba = jax.vmap(lambda fr: shaders[i].fragment(fr, uni))(frag)
+                        rgba = jnp.transpose(rgba, (0, 3, 1, 2))  # (S, 4, rh, rw)
+                        blended = jax.vmap(lambda s, c: _blend(s, c, pipe.blend))(
+                            rgba, color
+                        )
+                        color = jnp.where(mask[:, None], blended, color)
+                        continue
                     rgba = jnp.transpose(shaders[i].fragment(frag, d["uniforms"]), (2, 0, 1))
                 else:
                     rgba = raster_xla.shade_deferred(
@@ -415,6 +452,9 @@ class Renderer:
                 blended = _blend(rgba, color, pipe.blend)
                 color = jnp.where(mask[None], blended, color)
 
+            if coverage_msaa:
+                # Coverage resolve: box-average the per-sample colors.
+                color = jnp.mean(color, axis=0)
             if scale == 2:
                 # MSAA-4x box resolve (planar).  reduce_window: a reshape
                 # with tiny trailing dims lane-pads 32x, and lane-strided
