@@ -17,7 +17,7 @@ Quick start::
 """
 
 from . import math3d, models, shader
-from .pipeline import BlendState, DepthState, Pipeline
+from .pipeline import BlendState, DepthState, Pipeline, StencilState
 from .renderer import FrameResult, Renderer, RendererConfig
 from .scene import Mesh, Texture, upload_mesh, upload_texture
 from .shader import Shader, register
@@ -33,6 +33,7 @@ __all__ = [
     "Renderer",
     "RendererConfig",
     "Shader",
+    "StencilState",
     "Texture",
     "errors",
     "image",

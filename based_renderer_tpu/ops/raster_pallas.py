@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import fixedpoint as fp
 from .binning import FRECORD_BASE, bin_triangles, frecord_width, record_width
-from .raster_xla import VisBuffer
+from .raster_xla import VisBuffer, stencil_test, stencil_update
 from .setup import TriSetup
 
 CHUNK = 128  # records DMA'd per step
@@ -75,19 +75,28 @@ def _raster_kernel(
     num_channels: int,
     scissor,
     skip_losers: bool,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
-    # rest = [init blocks x5 if has_init] + outputs (5 + 1 invw +
-    # num_channels) + scratch (2 chunks + 5 tiles + invw + channels + 2 sems).
-    nout = 6 + num_channels
-    ninit = 5 if has_init else 0
+    # rest = [init blocks x5(+stencil) if has_init] + outputs (5 + 1 invw +
+    # num_channels + stencil?) + scratch (2 chunks + int tiles + f32 tiles
+    # + 2 sems).
+    use_stencil = stencil is not None and stencil.enable
+    nout = 6 + num_channels + (1 if use_stencil else 0)
+    ninit = (6 if use_stencil else 5) if has_init else 0
     init_refs = rest[:ninit]
     outs = rest[ninit : ninit + nout]
     tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
-    chan_refs = outs[6:]
+    chan_refs = outs[6 : 6 + num_channels]
+    stencil_ref = outs[-1] if use_stencil else None
     scratch = rest[ninit + nout :]
-    chunk_vmem, fchunk_vmem, zs, ids, b0s, b1s, b2s, iws = scratch[:8]
-    chs = scratch[8 : 8 + num_channels]
-    sems, fsems = scratch[8 + num_channels :]
+    chunk_vmem, fchunk_vmem, zs, ids = scratch[:4]
+    k = 4
+    sts = scratch[k] if use_stencil else None
+    k += 1 if use_stencil else 0
+    b0s, b1s, b2s, iws = scratch[k : k + 4]
+    chs = scratch[k + 4 : k + 4 + num_channels]
+    sems, fsems = scratch[k + 4 + num_channels :]
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -102,18 +111,22 @@ def _raster_kernel(
 
     if has_init:
         # Continue an earlier draw's visibility state (multi-draw frames).
-        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs[:5]
         ids[:] = i_id[:]
         zs[:] = i_z[:]
         b0s[:] = i_b0[:]
         b1s[:] = i_b1[:]
         b2s[:] = i_b2[:]
+        if use_stencil:
+            sts[:] = init_refs[5][:]
     else:
         zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
         ids[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
         b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b2s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        if use_stencil:
+            sts[:] = jnp.full((tile_h, tile_w), jnp.int32(stencil_clear & 0xFF))
     iws[:] = jnp.ones((tile_h, tile_w), jnp.float32)
     for ch in chs:
         ch[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -179,9 +192,15 @@ def _raster_kernel(
             if depth_clip:
                 covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
             if depth_test:
-                passes = covered & _depth_cmp(depth_compare, z, zs[:])
+                d_pass = _depth_cmp(depth_compare, z, zs[:])
             else:
-                passes = covered
+                d_pass = jnp.ones((tile_h, tile_w), jnp.bool_)
+            if use_stencil:
+                s_pass = stencil_test(stencil, sts[:])
+                sts[:] = stencil_update(stencil, sts[:], covered, s_pass, d_pass)
+                passes = covered & s_pass & d_pass
+            else:
+                passes = covered & d_pass
 
             # Records that win no pixel (fully occluded, or a bbox-binned
             # sliver missing the tile) can skip interpolation and
@@ -233,6 +252,8 @@ def _raster_kernel(
     invw_ref[:] = iws[:]
     for cr, ch in zip(chan_refs, chs):
         cr[:] = ch[:]
+    if use_stencil:
+        stencil_ref[:] = sts[:]
 
 
 def _raster_kernel_two_pass(
@@ -254,6 +275,8 @@ def _raster_kernel_two_pass(
     has_init: bool,
     num_channels: int,
     scissor,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """Two-pass variant: an int-only visibility pass records the winning
     record index per pixel; a second pass replays only the float-plane
@@ -262,16 +285,22 @@ def _raster_kernel_two_pass(
     bbox-binned slivers), so pass 2 is nearly free — the per-record cost
     drops to the int visibility math.
     """
-    nout = 6 + num_channels
-    ninit = 5 if has_init else 0
+    use_stencil = stencil is not None and stencil.enable
+    nout = 6 + num_channels + (1 if use_stencil else 0)
+    ninit = (6 if use_stencil else 5) if has_init else 0
     init_refs = rest[:ninit]
     outs = rest[ninit : ninit + nout]
     tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
-    chan_refs = outs[6:]
+    chan_refs = outs[6 : 6 + num_channels]
+    stencil_ref = outs[-1] if use_stencil else None
     scratch = rest[ninit + nout :]
-    chunk_vmem, fchunk_vmem, zs, ids, widx, b0s, b1s, b2s, iws = scratch[:9]
-    chs = scratch[9 : 9 + num_channels]
-    sems, fsems = scratch[9 + num_channels :]
+    chunk_vmem, fchunk_vmem, zs, ids, widx = scratch[:5]
+    k = 5
+    sts = scratch[k] if use_stencil else None
+    k += 1 if use_stencil else 0
+    b0s, b1s, b2s, iws = scratch[k : k + 4]
+    chs = scratch[k + 4 : k + 4 + num_channels]
+    sems, fsems = scratch[k + 4 + num_channels :]
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -282,18 +311,22 @@ def _raster_kernel_two_pass(
     count = tile_count_ref[tile] + skip
 
     if has_init:
-        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs[:5]
         ids[:] = i_id[:]
         zs[:] = i_z[:]
         b0s[:] = i_b0[:]
         b1s[:] = i_b1[:]
         b2s[:] = i_b2[:]
+        if use_stencil:
+            sts[:] = init_refs[5][:]
     else:
         zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
         ids[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
         b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
         b2s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        if use_stencil:
+            sts[:] = jnp.full((tile_h, tile_w), jnp.int32(stencil_clear & 0xFF))
     widx[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
     iws[:] = jnp.ones((tile_h, tile_w), jnp.float32)
     for ch in chs:
@@ -357,9 +390,15 @@ def _raster_kernel_two_pass(
             if depth_clip:
                 covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
             if depth_test:
-                passes = covered & _depth_cmp(depth_compare, z, zs[:])
+                d_pass = _depth_cmp(depth_compare, z, zs[:])
             else:
-                passes = covered
+                d_pass = jnp.ones((tile_h, tile_w), jnp.bool_)
+            if use_stencil:
+                s_pass = stencil_test(stencil, sts[:])
+                sts[:] = stencil_update(stencil, sts[:], covered, s_pass, d_pass)
+                passes = covered & s_pass & d_pass
+            else:
+                passes = covered & d_pass
             if depth_write:
                 zs[:] = jnp.where(passes, z, zs[:])
             ids[:] = jnp.where(passes, f(13), ids[:])
@@ -433,6 +472,8 @@ def _raster_kernel_two_pass(
     invw_ref[:] = iws[:]
     for cr, ch in zip(chan_refs, chs):
         cr[:] = ch[:]
+    if use_stencil:
+        stencil_ref[:] = sts[:]
 
 
 def _raster_kernel_msaa4(
@@ -454,6 +495,8 @@ def _raster_kernel_msaa4(
     has_init: bool,
     num_channels: int,
     scissor,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """Coverage-sample MSAA-4x rasterization, two-pass.
 
@@ -467,16 +510,22 @@ def _raster_kernel_msaa4(
     each sample layer the record won.  The reference merely configures
     this stage (multisample state, /root/reference/src/main.cpp:1790).
     """
-    nout = 6 + num_channels
-    ninit = 5 if has_init else 0
+    use_stencil = stencil is not None and stencil.enable
+    nout = 6 + num_channels + (1 if use_stencil else 0)
+    ninit = (6 if use_stencil else 5) if has_init else 0
     init_refs = rest[:ninit]
     outs = rest[ninit : ninit + nout]
     tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
-    chan_refs = outs[6:]
+    chan_refs = outs[6 : 6 + num_channels]
+    stencil_ref = outs[-1] if use_stencil else None
     scratch = rest[ninit + nout :]
-    chunk_vmem, fchunk_vmem, zs, ids, widx, b0s, b1s, b2s, iws = scratch[:9]
-    chs = scratch[9 : 9 + num_channels]
-    sems, fsems = scratch[9 + num_channels :]
+    chunk_vmem, fchunk_vmem, zs, ids, widx = scratch[:5]
+    k = 5
+    sts = scratch[k] if use_stencil else None
+    k += 1 if use_stencil else 0
+    b0s, b1s, b2s, iws = scratch[k : k + 4]
+    chs = scratch[k + 4 : k + 4 + num_channels]
+    sems, fsems = scratch[k + 4 + num_channels :]
     S = NUM_SAMPLES
 
     ty = pl.program_id(0)
@@ -488,18 +537,22 @@ def _raster_kernel_msaa4(
     count = tile_count_ref[tile] + skip
 
     if has_init:
-        i_id, i_z, i_b0, i_b1, i_b2 = init_refs
+        i_id, i_z, i_b0, i_b1, i_b2 = init_refs[:5]
         ids[:] = i_id[:]
         zs[:] = i_z[:]
         b0s[:] = i_b0[:]
         b1s[:] = i_b1[:]
         b2s[:] = i_b2[:]
+        if use_stencil:
+            sts[:] = init_refs[5][:]
     else:
         zs[:] = jnp.full((S, tile_h, tile_w), jnp.int32(clear_depth_q))
         ids[:] = jnp.full((S, tile_h, tile_w), jnp.int32(-1))
         b0s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
         b1s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
         b2s[:] = jnp.zeros((S, tile_h, tile_w), jnp.float32)
+        if use_stencil:
+            sts[:] = jnp.full((S, tile_h, tile_w), jnp.int32(stencil_clear & 0xFF))
     widx[:] = jnp.full((S, tile_h, tile_w), jnp.int32(-1))
     iws[:] = jnp.ones((S, tile_h, tile_w), jnp.float32)
     for ch in chs:
@@ -573,9 +626,15 @@ def _raster_kernel_msaa4(
                 if depth_clip:
                     covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
                 if depth_test:
-                    passes = covered & _depth_cmp(depth_compare, z, zs[s])
+                    d_pass = _depth_cmp(depth_compare, z, zs[s])
                 else:
-                    passes = covered
+                    d_pass = jnp.ones((tile_h, tile_w), jnp.bool_)
+                if use_stencil:
+                    s_pass = stencil_test(stencil, sts[s])
+                    sts[s] = stencil_update(stencil, sts[s], covered, s_pass, d_pass)
+                    passes = covered & s_pass & d_pass
+                else:
+                    passes = covered & d_pass
                 if depth_write:
                     zs[s] = jnp.where(passes, z, zs[s])
                 ids[s] = jnp.where(passes, tid, ids[s])
@@ -656,6 +715,8 @@ def _raster_kernel_msaa4(
     invw_ref[:] = iws[:]
     for cr, ch in zip(chan_refs, chs):
         cr[:] = ch[:]
+    if use_stencil:
+        stencil_ref[:] = sts[:]
 
 
 @functools.partial(
@@ -678,6 +739,8 @@ def _raster_kernel_msaa4(
         "return_overflow",
         "two_pass",
         "msaa4",
+        "stencil",
+        "stencil_clear",
     ),
 )
 def rasterize_vis_pallas(
@@ -702,6 +765,8 @@ def rasterize_vis_pallas(
     return_overflow: bool = False,
     two_pass: bool = False,
     msaa4: bool = False,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -756,6 +821,8 @@ def rasterize_vis_pallas(
         skip_losers=skip_losers,
         two_pass=two_pass,
         msaa4=msaa4,
+        stencil=stencil,
+        stencil_clear=stencil_clear,
     )
     if not return_overflow:
         return out
@@ -782,6 +849,8 @@ def rasterize_binned(
     skip_losers: bool = False,
     two_pass: bool = False,
     msaa4: bool = False,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -797,6 +866,7 @@ def rasterize_binned(
     clear_q = int(round(depth_clear * fp.DEPTH_ONE_Q))
     has_init = init is not None
     num_ch = num_channels
+    use_stencil = stencil is not None and stencil.enable
     S = NUM_SAMPLES
 
     # Segments are SEGMENT_ALIGN-padded by the binner, so CHUNK-rounded
@@ -816,6 +886,8 @@ def rasterize_binned(
         has_init=has_init,
         num_channels=num_ch,
         scissor=scissor,
+        stencil=stencil,
+        stencil_clear=stencil_clear,
     )
     if msaa4:
         kernel = functools.partial(_raster_kernel_msaa4, **common)
@@ -840,7 +912,7 @@ def rasterize_binned(
         pad_init = lambda x, cval: jnp.pad(
             x, ((0, pad_h - height), (0, pad_w - width)), constant_values=cval
         )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
     inputs = [binned.tile_start, binned.tile_count, records, frecords]
     if has_init:
         inputs += [
@@ -850,12 +922,19 @@ def rasterize_binned(
             pad_init(init.b1, 0),
             pad_init(init.b2, 0),
         ]
-        in_specs += [tile_block() for _ in range(5)]
+        if use_stencil:
+            st_in = init.stencil
+            if st_in is None:
+                st_in = jnp.full(
+                    init.tri_id.shape, jnp.int32(stencil_clear & 0xFF)
+                )
+            inputs.append(pad_init(st_in, stencil_clear & 0xFF))
+        in_specs += [tile_block() for _ in range(6 if use_stencil else 5)]
 
     # Two-pass variants carry a winner-index plane; the single-pass kernel
-    # does not.
-    n_int_scratch = 3 if (two_pass or msaa4) else 2
-    nout = 6 + num_ch
+    # does not; stencil adds one more int plane.
+    n_int_scratch = (3 if (two_pass or msaa4) else 2) + (1 if use_stencil else 0)
+    nout = 6 + num_ch + (1 if use_stencil else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_ty, num_tx),
@@ -873,10 +952,14 @@ def rasterize_binned(
         ],
     )
 
-    out_shape = [
-        jax.ShapeDtypeStruct(out_dims, jnp.int32),
-        jax.ShapeDtypeStruct(out_dims, jnp.int32),
-    ] + [jax.ShapeDtypeStruct(out_dims, jnp.float32) for _ in range(nout - 2)]
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+        ]
+        + [jax.ShapeDtypeStruct(out_dims, jnp.float32) for _ in range(4 + num_ch)]
+        + ([jax.ShapeDtypeStruct(out_dims, jnp.int32)] if use_stencil else [])
+    )
 
     outs = pl.pallas_call(
         kernel,
@@ -885,7 +968,7 @@ def rasterize_binned(
         interpret=interpret,
     )(*inputs)
     tri_id, depth_q, b0, b1, b2, invw = outs[:6]
-    chan = outs[6:]
+    chan = outs[6 : 6 + num_ch]
 
     crop = lambda x: x[..., :height, :width]
     vis = VisBuffer(
@@ -894,6 +977,7 @@ def rasterize_binned(
         b0=crop(b0),
         b1=crop(b1),
         b2=crop(b2),
+        stencil=crop(outs[6 + num_ch]) if use_stencil else None,
     )
     if num_ch == 0:
         return vis

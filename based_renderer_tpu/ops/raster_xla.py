@@ -28,13 +28,19 @@ from .setup import TriSetup, depth_tile_anchor, depth_at_pixel
 
 
 class VisBuffer(NamedTuple):
-    """Per-pixel visibility: which triangle won, at what depth, where."""
+    """Per-pixel visibility: which triangle won, at what depth, where.
+
+    With coverage-sample MSAA every field gains a leading sample axis.
+    ``stencil`` is populated only when a draw has stencil enabled (the
+    S8 half of the reference's D24S8 attachment, main.cpp:1472-1484).
+    """
 
     tri_id: jnp.ndarray  # int32 (H, W), -1 = background
     depth_q: jnp.ndarray  # int32 (H, W) quantized depth (1.0 == 2^30)
     b0: jnp.ndarray  # f32 (H, W) barycentric weight of v0
     b1: jnp.ndarray  # f32 (H, W)
     b2: jnp.ndarray  # f32 (H, W)
+    stencil: jnp.ndarray | None = None  # int32 (H, W) 8-bit stencil values
 
     @property
     def depth(self) -> jnp.ndarray:
@@ -52,6 +58,55 @@ _DEPTH_CMP = {
     "greater_equal": lambda z, d: z >= d,
     "always": lambda z, d: jnp.ones(z.shape, jnp.bool_),
 }
+
+
+def stencil_apply_op(op: str, sbuf, ref: int):
+    """New 8-bit stencil value under ``op`` (before the write-mask merge).
+
+    Shared by the XLA path and the Pallas kernels (plain jnp int32 math);
+    mirrored in numpy by the oracle.  Semantics follow VkStencilOp.
+    """
+    if op == "keep":
+        return sbuf
+    if op == "zero":
+        return jnp.zeros_like(sbuf)
+    if op == "replace":
+        return jnp.full_like(sbuf, jnp.int32(ref))
+    if op == "increment_clamp":
+        return jnp.minimum(sbuf + 1, jnp.int32(255))
+    if op == "decrement_clamp":
+        return jnp.maximum(sbuf - 1, jnp.int32(0))
+    if op == "invert":
+        return (~sbuf) & jnp.int32(0xFF)
+    if op == "increment_wrap":
+        return (sbuf + 1) & jnp.int32(0xFF)
+    if op == "decrement_wrap":
+        return (sbuf - 1) & jnp.int32(0xFF)
+    raise ValueError(op)
+
+
+def stencil_update(state, sbuf, covered, s_pass, d_pass):
+    """Post-fragment stencil buffer: per-pixel op selection + write mask.
+
+    covered: fragments that reached the stencil test; s_pass: stencil
+    test verdict; d_pass: depth test verdict (True where depth test is
+    off).  Op selection per VkStencilOpState: fail_op on stencil fail,
+    depth_fail_op on stencil pass + depth fail, pass_op on both passing.
+    """
+    new_fail = stencil_apply_op(state.fail_op, sbuf, state.ref)
+    new_dfail = stencil_apply_op(state.depth_fail_op, sbuf, state.ref)
+    new_pass = stencil_apply_op(state.pass_op, sbuf, state.ref)
+    nv = jnp.where(s_pass, jnp.where(d_pass, new_pass, new_dfail), new_fail)
+    wm = jnp.int32(state.write_mask)
+    merged = (sbuf & ~wm) | (nv & wm)
+    return jnp.where(covered, merged, sbuf)
+
+
+def stencil_test(state, sbuf):
+    """(ref & compare_mask) COMPARE (stencil & compare_mask), VkCompareOp."""
+    cm = jnp.int32(state.compare_mask)
+    ref = jnp.full_like(sbuf, jnp.int32(state.ref) & cm)
+    return _DEPTH_CMP[state.compare](ref, sbuf & cm)
 
 
 def _i64_ge0(hi, lo):
@@ -75,6 +130,8 @@ def rasterize_vis(
     id_offset: int = 0,
     origin=(0, 0),
     scissor=None,
+    stencil=None,
+    stencil_clear: int = 0,
 ) -> VisBuffer:
     """Scan all triangles, exact edge tests at every pixel.
 
@@ -83,6 +140,10 @@ def rasterize_vis(
     per-shard offset for tile-parallel rendering (parallel/tiled.py).
     All spec math (edge anchors, canonical depth tiles) uses global
     coordinates, so a tiled render is bit-identical to a monolithic one.
+
+    ``stencil`` is an optional pipeline.StencilState; when given (and
+    enabled) the returned VisBuffer carries a stencil plane, initialized
+    to ``stencil_clear`` (or continued from ``init.stencil``).
     """
     cmp_fn = _DEPTH_CMP[depth_compare]
     py, px = jnp.mgrid[0:height, 0:width]
@@ -93,6 +154,7 @@ def rasterize_vis(
     anchor_x = (px // fp.DEPTH_TILE) * fp.DEPTH_TILE
     anchor_y = (py // fp.DEPTH_TILE) * fp.DEPTH_TILE
 
+    use_stencil = stencil is not None and stencil.enable
     if init is None:
         init = VisBuffer(
             tri_id=jnp.full((height, width), -1, jnp.int32),
@@ -103,6 +165,10 @@ def rasterize_vis(
             b0=jnp.zeros((height, width), jnp.float32),
             b1=jnp.zeros((height, width), jnp.float32),
             b2=jnp.zeros((height, width), jnp.float32),
+        )
+    if use_stencil and init.stencil is None:
+        init = init._replace(
+            stencil=jnp.full((height, width), jnp.int32(stencil_clear & 0xFF))
         )
 
     num_tris = ts.valid.shape[0]
@@ -147,10 +213,14 @@ def rasterize_vis(
         )
         if depth_clip:
             covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
-        if depth_test:
-            passes = covered & cmp_fn(z, vis.depth_q)
+        d_pass = cmp_fn(z, vis.depth_q) if depth_test else jnp.ones_like(covered)
+        if use_stencil:
+            s_pass = stencil_test(stencil, vis.stencil)
+            new_stencil = stencil_update(stencil, vis.stencil, covered, s_pass, d_pass)
+            passes = covered & s_pass & d_pass
         else:
-            passes = covered
+            new_stencil = vis.stencil
+            passes = covered & d_pass
 
         inv_area = ts.inv_area[t]
         nb0 = e_f[1] * inv_area
@@ -163,6 +233,7 @@ def rasterize_vis(
             b0=jnp.where(passes, nb0, vis.b0),
             b1=jnp.where(passes, nb1, vis.b1),
             b2=jnp.where(passes, nb2, vis.b2),
+            stencil=new_stencil,
         )
 
     return jax.lax.fori_loop(0, num_tris, body, init, unroll=False)

@@ -24,6 +24,16 @@ _COMPARE_OPS = (
     "always",
 )
 _CULL_MODES = ("none", "back", "front")
+_STENCIL_OPS = (
+    "keep",
+    "zero",
+    "replace",
+    "increment_clamp",
+    "decrement_clamp",
+    "invert",
+    "increment_wrap",
+    "decrement_wrap",
+)
 _FRONT_FACES = ("ccw", "cw")
 _BLEND_FACTORS = (
     "zero",
@@ -52,6 +62,41 @@ class DepthState:
     def __post_init__(self):
         if self.compare not in _COMPARE_OPS:
             raise ValueError(f"bad depth compare {self.compare!r}; one of {_COMPARE_OPS}")
+
+
+@dataclass(frozen=True)
+class StencilState:
+    """Stencil test/write state (both faces share one description).
+
+    The reference allocates a D24_UNORM_S8_UINT depth-stencil image
+    (/root/reference/src/main.cpp:1472-1484) and its (commented-out)
+    depth-stencil state carries stencil fields (main.cpp:1792-1804); this
+    is the working TPU counterpart.  The stencil buffer holds 8-bit
+    values (stored int32 on device); the test is
+        compare(ref & compare_mask, stencil & compare_mask)
+    and the update op is selected per fragment: ``fail_op`` when the
+    stencil test fails, ``depth_fail_op`` when stencil passes but depth
+    fails, ``pass_op`` when both pass — each masked by ``write_mask``.
+    """
+
+    enable: bool = False
+    compare: str = "always"
+    ref: int = 0
+    compare_mask: int = 0xFF
+    write_mask: int = 0xFF
+    fail_op: str = "keep"
+    depth_fail_op: str = "keep"
+    pass_op: str = "keep"
+
+    def __post_init__(self):
+        if self.compare not in _COMPARE_OPS:
+            raise ValueError(f"bad stencil compare {self.compare!r}; one of {_COMPARE_OPS}")
+        for op in (self.fail_op, self.depth_fail_op, self.pass_op):
+            if op not in _STENCIL_OPS:
+                raise ValueError(f"bad stencil op {op!r}; one of {_STENCIL_OPS}")
+        for v in (self.ref, self.compare_mask, self.write_mask):
+            if not 0 <= v <= 0xFF:
+                raise ValueError("stencil ref/masks must be 8-bit (0..255)")
 
 
 @dataclass(frozen=True)
@@ -86,6 +131,7 @@ class Pipeline:
 
     shader: str = "unlit"
     depth: DepthState = field(default_factory=DepthState)
+    stencil: StencilState = field(default_factory=StencilState)
     cull_mode: str = "none"  # main.cpp:1782 uses eNone
     # Winding that counts as front-facing, in conventional y-UP screen
     # orientation (the default mirrors main.cpp:1783's eCounterClockwise).

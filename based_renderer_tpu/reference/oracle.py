@@ -71,6 +71,27 @@ def _recip_f32_exact(x) -> np.ndarray:
     return np.float32(q * scale)
 
 
+def _stencil_apply_op(op, sbuf, ref):
+    """numpy mirror of ops/raster_xla.stencil_apply_op (VkStencilOp)."""
+    if op == "keep":
+        return sbuf
+    if op == "zero":
+        return np.zeros_like(sbuf)
+    if op == "replace":
+        return np.full_like(sbuf, np.int32(ref))
+    if op == "increment_clamp":
+        return np.minimum(sbuf + 1, np.int32(255))
+    if op == "decrement_clamp":
+        return np.maximum(sbuf - 1, np.int32(0))
+    if op == "invert":
+        return (~sbuf) & np.int32(0xFF)
+    if op == "increment_wrap":
+        return (sbuf + 1) & np.int32(0xFF)
+    if op == "decrement_wrap":
+        return (sbuf - 1) & np.int32(0xFF)
+    raise ValueError(op)
+
+
 def _i64_pair_to_f32(v) -> np.ndarray:
     """Mirror of the device's deterministic int64 -> f32 conversion
     (signed-low-word split: exact for |v| < 2^31, see ops/setup.py)."""
@@ -97,6 +118,8 @@ def rasterize(
     depth_clear: float = 1.0,
     depth_clip: bool = True,
     w_eps: float = 1e-6,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """Rasterize triangles, returning coverage/depth/barycentric buffers.
 
@@ -121,6 +144,8 @@ def rasterize(
         depth_clear,
         depth_clip,
         w_eps,
+        stencil,
+        stencil_clear,
     )
     return {k: v[0] for k, v in out.items()}
 
@@ -137,6 +162,8 @@ def rasterize_msaa4(
     depth_clear: float = 1.0,
     depth_clip: bool = True,
     w_eps: float = 1e-6,
+    stencil=None,
+    stencil_clear: int = 0,
 ):
     """MSAA-4x rasterization: per-SAMPLE coverage and depth, per-PIXEL
     attributes.
@@ -164,6 +191,8 @@ def rasterize_msaa4(
         depth_clear,
         depth_clip,
         w_eps,
+        stencil,
+        stencil_clear,
     )
 
 
@@ -180,6 +209,8 @@ def _rasterize_samples(
     depth_clear,
     depth_clip,
     w_eps,
+    stencil=None,
+    stencil_clear=0,
 ):
     clip_pos = np.asarray(clip_pos, np.float32)
     num_tris = clip_pos.shape[0]
@@ -189,6 +220,12 @@ def _rasterize_samples(
         (ns, height, width), np.int32(round(depth_clear * DEPTH_ONE_Q)), np.int32
     )
     bary_buf = np.zeros((ns, height, width, 3), np.float32)
+    use_stencil = stencil is not None and stencil.enable
+    stencil_buf = (
+        np.full((ns, height, width), np.int32(stencil_clear & 0xFF), np.int32)
+        if use_stencil
+        else None
+    )
     cmp_fn = _COMPARES[depth_compare]
 
     for t in range(num_tris):
@@ -332,16 +369,42 @@ def _rasterize_samples(
             if depth_clip:
                 covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)
             window_d = depth_buf[s, y0:y1, x0:x1]
-            passes = covered & (cmp_fn(zpix, window_d) if depth_test else True)
+            d_pass = cmp_fn(zpix, window_d) if depth_test else np.ones_like(covered)
+            if use_stencil:
+                # VkStencilOpState: test (ref & mask) OP (stencil & mask);
+                # update op by fail / depth-fail / pass, under write_mask.
+                window_s = stencil_buf[s, y0:y1, x0:x1]
+                cm = np.int32(stencil.compare_mask)
+                s_pass = _COMPARES[stencil.compare](
+                    np.full_like(window_s, np.int32(stencil.ref) & cm), window_s & cm
+                )
+                nv = np.where(
+                    s_pass,
+                    np.where(
+                        d_pass,
+                        _stencil_apply_op(stencil.pass_op, window_s, stencil.ref),
+                        _stencil_apply_op(stencil.depth_fail_op, window_s, stencil.ref),
+                    ),
+                    _stencil_apply_op(stencil.fail_op, window_s, stencil.ref),
+                )
+                wm = np.int32(stencil.write_mask)
+                merged = (window_s & ~wm) | (nv & wm)
+                window_s[covered] = merged[covered]
+                passes = covered & s_pass & d_pass
+            else:
+                passes = covered & d_pass
             tri_id[s, y0:y1, x0:x1][passes] = t
             if depth_write:
                 window_d[passes] = zpix[passes]
             bw = bary_buf[s, y0:y1, x0:x1]
             bw[passes] = bary_t[passes]
 
-    return {
+    out = {
         "tri_id": tri_id,
         "depth_q": depth_buf,
         "depth": depth_buf.astype(np.float32) * np.float32(1.0 / DEPTH_ONE_Q),
         "bary": bary_buf,
     }
+    if use_stencil:
+        out["stencil"] = stencil_buf
+    return out

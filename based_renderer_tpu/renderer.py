@@ -54,6 +54,7 @@ class RendererConfig:
     clear_depth: float = 1.0
     debug: bool = False  # NaN/shape validation (the validation-layer analog)
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    clear_stencil: int = 0  # stencil attachment clear value (0..255)
 
     def __post_init__(self):
         if self.msaa not in (1, 4):
@@ -85,6 +86,9 @@ class FrameResult:
     # backend: (2H, 2W) supersampled.
     depth_q: jnp.ndarray  # int32 quantized depth
     tri_id: jnp.ndarray  # int32
+    # Stencil plane (same layout as depth_q), present only when a draw in
+    # the frame had stencil enabled; else None.
+    stencil: Any = None
     # True when any draw's binned (tile, triangle) pair count exceeded its
     # raster_pairs_factor budget — trailing triangles were dropped.  Always
     # False on the XLA backend (no pair budget).  In RendererConfig.debug
@@ -197,7 +201,7 @@ class Renderer:
             self._program_cache[key] = program
         dyn = self._dynamic_args(draws)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        color, depth_q, tri_id, overflowed = program(dyn, clear_color)
+        color, depth_q, tri_id, stencil, overflowed = program(dyn, clear_color)
         if self.config.debug:
             if bool(overflowed):
                 raise AllocationError(
@@ -211,7 +215,11 @@ class Renderer:
                 raise FrameError("non-finite values in rendered color buffer")
         self.frame_count += 1
         return FrameResult(
-            color_planar=color, depth_q=depth_q, tri_id=tri_id, overflowed=overflowed
+            color_planar=color,
+            depth_q=depth_q,
+            tri_id=tri_id,
+            stencil=stencil,
+            overflowed=overflowed,
         )
 
     def render_frame(self, pipeline, mesh, uniforms=None, instances=None, **clear) -> FrameResult:
@@ -314,6 +322,8 @@ class Renderer:
             overflowed = jnp.bool_(False)
             for i, d in enumerate(dyn):
                 pipe = pipelines[i]
+                stencil_state = pipe.stencil if pipe.stencil.enable else None
+                prev_stencil = vis.stencil if i > 0 else None
                 mesh = Mesh(attributes=d["attrs"], indices=d["indices"])
                 attrs, tri_idx = expand_instances(mesh, d["instances"])
                 clip, varyings = shaders[i].vertex(attrs, d["uniforms"])
@@ -364,6 +374,8 @@ class Renderer:
                         skip_losers=pipe.raster_skip_losers,
                         two_pass=pipe.raster_two_pass,
                         msaa4=coverage_msaa,
+                        stencil=stencil_state,
+                        stencil_clear=cfg.clear_stencil,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
@@ -374,6 +386,9 @@ class Renderer:
                     else:
                         vis, interp, invw, of = out
                     overflowed = overflowed | of
+                    if vis.stencil is None and prev_stencil is not None:
+                        # Stencil-disabled draws leave the attachment as-is.
+                        vis = vis._replace(stencil=prev_stencil)
                 else:
                     vis = raster_xla.rasterize_vis(
                         ts,
@@ -386,6 +401,8 @@ class Renderer:
                         init=vis,
                         id_offset=offset,
                         scissor=self._scaled_scissor(pipe, scale),
+                        stencil=stencil_state,
+                        stencil_clear=cfg.clear_stencil,
                     )
                 per_draw.append((ts, var_tri, offset, ts.valid.shape[0], interp, invw))
                 offset += ts.valid.shape[0]
@@ -469,7 +486,7 @@ class Renderer:
                 ) * jnp.float32(0.25)
             else:
                 resolved = color
-            return resolved, vis.depth_q, vis.tri_id, overflowed
+            return resolved, vis.depth_q, vis.tri_id, vis.stencil, overflowed
 
         return jax.jit(frame) if jit else frame
 
@@ -524,7 +541,7 @@ class Renderer:
                     d = dict(dyn_seq[0])
                     stat = dyn_seq[0]["static_uniforms"]
                     d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
-                    color, _depth_q, _tri_id, of = single([d], clear_color)
+                    color, _depth_q, _tri_id, _stencil, of = single([d], clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
                     return carry | of, out
 
