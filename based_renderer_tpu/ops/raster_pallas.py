@@ -476,6 +476,211 @@ def _raster_kernel_two_pass(
         stencil_ref[:] = sts[:]
 
 
+def _raster_kernel_batched(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    records_hbm,  # (RECORD_WIDTH, MAXPAIRS) int32, stays in HBM
+    frecords_hbm,  # (FRECORD_WIDTH, MAXPAIRS) f32, stays in HBM
+    *rest,
+    tile_w: int,
+    tile_h: int,
+    num_tx: int,
+    depth_compare: str,
+    depth_clip: bool,
+    clear_depth_q: int,
+    has_init: bool,
+    num_channels: int,
+    scissor,
+    batch: int,
+):
+    """Batched-reduction rasterization for order-independent depth modes.
+
+    For depth test+write with an ordered compare (less / less_equal /
+    greater / greater_equal) the final buffer state is a pure per-pixel
+    reduction over records: winner depth = extremum of covered depths,
+    winner fragment = the first (strict compares) or last (*_equal
+    compares) record attaining it — sequential processing is unnecessary.
+    This kernel evaluates BATCH records independently per iteration and
+    merges them with an order-aware tree (left operand = earlier records,
+    so tie-breaks need no index bookkeeping), then folds the batch winner
+    into the tile state once.  Breaking the per-record read-after-write
+    dependency on the depth plane lets the VPU pipeline record evaluations
+    back-to-back — the fix for the sequential kernel's ~0.4us/record
+    floor on dense meshes (record count is the cost driver for 1M-tri
+    scenes, BASELINE config 5).
+
+    Bit-identical to the sequential kernels and the oracle: the merge
+    predicate mirrors the sequential pass/tie semantics exactly (proof in
+    the strict/non-strict analysis above; pinned by tests including
+    equal-depth tie cases).
+    """
+    strict = depth_compare in ("less", "greater")
+    less_family = depth_compare.startswith("less")
+    sent = jnp.int32(2**31 - 1) if less_family else jnp.int32(-(2**31))
+
+    def better(z_new, z_old):
+        # "Does the LATER operand beat the EARLIER one?"
+        if less_family:
+            return (z_new < z_old) if strict else (z_new <= z_old)
+        return (z_new > z_old) if strict else (z_new >= z_old)
+
+    nout = 6 + num_channels
+    ninit = 5 if has_init else 0
+    init_refs = rest[:ninit]
+    outs = rest[ninit : ninit + nout]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
+    chan_refs = outs[6:]
+    scratch = rest[ninit + nout :]
+    chunk_vmem, fchunk_vmem, zs, ids = scratch[:4]
+    b0s, b1s, iws = scratch[4:7]
+    chs = scratch[7 : 7 + num_channels]
+    sems, fsems = scratch[7 + num_channels :]
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * num_tx + tx
+    raw_start = tile_start_ref[tile]
+    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+    skip = raw_start - start
+    count = tile_count_ref[tile] + skip
+
+    if has_init:
+        i_id, i_z, i_b0, i_b1, _i_b2 = init_refs
+        ids[:] = i_id[:]
+        zs[:] = i_z[:]
+        b0s[:] = i_b0[:]
+        b1s[:] = i_b1[:]
+    else:
+        zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
+        ids[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
+        b0s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        b1s[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    iws[:] = jnp.ones((tile_h, tile_w), jnp.float32)
+    for ch in chs:
+        ch[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    ixf = ix.astype(jnp.float32)
+    iyf = iy.astype(jnp.float32)
+    if scissor is not None:
+        sx0, sy0, sx1, sy1 = scissor
+        gx_pix = ix + tx * tile_w
+        gy_pix = iy + ty * tile_h
+        scissor_mask = (gx_pix >= sx0) & (gx_pix < sx1) & (gy_pix >= sy0) & (gy_pix < sy1)
+    else:
+        scissor_mask = None
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def get_fdma(slot, c):
+        return pltpu.make_async_copy(
+            frecords_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            fchunk_vmem.at[slot],
+            fsems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+        get_fdma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+            get_fdma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        get_fdma(slot, c).wait()
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+
+        def group_body(g, _):
+            def eval_record(r):
+                i = g * batch + r
+                in_range = (i >= lo) & (i < hi_b)
+
+                def f(j):
+                    return chunk_vmem[slot, j, i]
+
+                def ff(j):
+                    return fchunk_vmem[slot, j, i]
+
+                e0 = f(0) + f(3) * ix + f(6) * iy
+                e1 = f(1) + f(4) * ix + f(7) * iy
+                e2 = f(2) + f(5) * ix + f(8) * iy
+                covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                if scissor_mask is not None:
+                    covered = covered & scissor_mask
+                zshift = f(12)
+                z_u = f(9) + f(10) * ix + f(11) * iy
+                hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
+                z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
+                if depth_clip:
+                    covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+                zk = jnp.where(covered & in_range, z, sent)
+
+                def plane(off):
+                    return ff(off) + ff(off + 1) * ixf + ff(off + 2) * iyf
+
+                vals = [plane(0), plane(3), plane(6)]  # b0, b1, invw
+                vals += [plane(FRECORD_BASE + 3 * ci) for ci in range(num_channels)]
+                tid = jnp.full((tile_h, tile_w), f(13))
+                return [zk, tid] + vals
+
+            def merge(left, right):
+                # right = later records; tie semantics via strictness.
+                take = better(right[0], left[0])
+                return [jnp.where(take, b, a) for a, b in zip(left, right)]
+
+            entries = [eval_record(r) for r in range(batch)]
+            while len(entries) > 1:
+                entries = [
+                    merge(entries[2 * k], entries[2 * k + 1])
+                    for k in range(len(entries) // 2)
+                ] + ([entries[-1]] if len(entries) % 2 else [])
+            win = entries[0]
+
+            take = better(win[0], zs[:])
+            zs[:] = jnp.where(take, win[0], zs[:])
+            ids[:] = jnp.where(take, win[1], ids[:])
+            b0s[:] = jnp.where(take, win[2], b0s[:])
+            b1s[:] = jnp.where(take, win[3], b1s[:])
+            iws[:] = jnp.where(take, win[4], iws[:])
+            for ci, ch in enumerate(chs):
+                ch[:] = jnp.where(take, win[5 + ci], ch[:])
+            return 0
+
+        jax.lax.fori_loop(lo // batch, pl.cdiv(hi_b, batch), group_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    tri_id_ref[:] = ids[:]
+    depth_ref[:] = zs[:]
+    b0_ref[:] = b0s[:]
+    b1_ref[:] = b1s[:]
+    # b2 is derived once at writeback (the same (1-b0)-b1 the sequential
+    # kernels compute per record); background keeps the cleared 0.
+    b2_ref[:] = jnp.where(ids[:] >= 0, (1.0 - b0s[:]) - b1s[:], 0.0)
+    invw_ref[:] = iws[:]
+    for cr, ch in zip(chan_refs, chs):
+        cr[:] = ch[:]
+
+
 def _raster_kernel_msaa4(
     # scalar prefetch
     tile_start_ref,
@@ -741,6 +946,7 @@ def _raster_kernel_msaa4(
         "msaa4",
         "stencil",
         "stencil_clear",
+        "batch",
     ),
 )
 def rasterize_vis_pallas(
@@ -767,6 +973,7 @@ def rasterize_vis_pallas(
     msaa4: bool = False,
     stencil=None,
     stencil_clear: int = 0,
+    batch: int = 0,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -823,6 +1030,7 @@ def rasterize_vis_pallas(
         msaa4=msaa4,
         stencil=stencil,
         stencil_clear=stencil_clear,
+        batch=batch,
     )
     if not return_overflow:
         return out
@@ -851,6 +1059,7 @@ def rasterize_binned(
     msaa4: bool = False,
     stencil=None,
     stencil_clear: int = 0,
+    batch: int = 0,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -889,7 +1098,36 @@ def rasterize_binned(
         stencil=stencil,
         stencil_clear=stencil_clear,
     )
-    if msaa4:
+    batched = batch > 0
+    if batched:
+        if not (
+            depth_test
+            and depth_write
+            and depth_compare in ("less", "less_equal", "greater", "greater_equal")
+            and not use_stencil
+            and not msaa4
+            and not two_pass
+        ):
+            raise ValueError(
+                "batch rasterization requires depth test+write with an "
+                "ordered compare and no stencil/msaa/two_pass"
+            )
+        if CHUNK % batch:
+            raise ValueError(f"batch must divide {CHUNK}")
+        kernel = functools.partial(
+            _raster_kernel_batched,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            num_tx=num_tx,
+            depth_compare=depth_compare,
+            depth_clip=depth_clip,
+            clear_depth_q=clear_q,
+            has_init=has_init,
+            num_channels=num_ch,
+            scissor=scissor,
+            batch=batch,
+        )
+    elif msaa4:
         kernel = functools.partial(_raster_kernel_msaa4, **common)
     elif two_pass:
         kernel = functools.partial(_raster_kernel_two_pass, **common)
@@ -932,8 +1170,10 @@ def rasterize_binned(
         in_specs += [tile_block() for _ in range(6 if use_stencil else 5)]
 
     # Two-pass variants carry a winner-index plane; the single-pass kernel
-    # does not; stencil adds one more int plane.
+    # does not; stencil adds one more int plane; the batched kernel derives
+    # b2 at writeback so it carries one fewer float plane.
     n_int_scratch = (3 if (two_pass or msaa4) else 2) + (1 if use_stencil else 0)
+    n_float_scratch = (3 if batched else 4) + num_ch
     nout = 6 + num_ch + (1 if use_stencil else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -945,7 +1185,7 @@ def rasterize_binned(
             pltpu.SMEM((2, frecord_width(num_ch), CHUNK), jnp.float32),
         ]
         + [pltpu.VMEM(plane(), jnp.int32) for _ in range(n_int_scratch)]
-        + [pltpu.VMEM(plane(), jnp.float32) for _ in range(4 + num_ch)]
+        + [pltpu.VMEM(plane(), jnp.float32) for _ in range(n_float_scratch)]
         + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

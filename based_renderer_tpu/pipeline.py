@@ -176,6 +176,15 @@ class Pipeline:
     # f32 plane math); costs one vector reduce per record, so leave off
     # for low-overlap scenes.
     raster_skip_losers: bool = False
+    # Batched-reduction rasterization: evaluate this many records
+    # independently per kernel iteration and merge them with an
+    # order-aware tree (ops/raster_pallas.py _raster_kernel_batched).
+    # Breaks the sequential per-record dependency — the big lever on
+    # record-bound dense meshes.  Requires depth test+write with an
+    # ordered compare (less/greater families) and no stencil; must divide
+    # 128.  0 = sequential kernel.  Ignored (sequential fallback) when the
+    # draw is ineligible.
+    raster_batch: int = 0
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.
@@ -189,3 +198,5 @@ class Pipeline:
         for d in (tw, th):
             if d <= 0 or 128 % d:
                 raise ValueError(f"raster_tile dims must divide 128, got {self.raster_tile}")
+        if self.raster_batch and (self.raster_batch < 0 or 128 % self.raster_batch):
+            raise ValueError(f"raster_batch must divide 128, got {self.raster_batch}")

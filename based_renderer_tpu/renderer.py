@@ -376,6 +376,19 @@ class Renderer:
                         msaa4=coverage_msaa,
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
+                        # Batched reduction only where its depth-mode
+                        # eligibility holds; silently fall back otherwise.
+                        batch=pipe.raster_batch
+                        if (
+                            pipe.depth.test
+                            and pipe.depth.write
+                            and pipe.depth.compare
+                            in ("less", "less_equal", "greater", "greater_equal")
+                            and stencil_state is None
+                            and not coverage_msaa
+                            and not pipe.raster_two_pass
+                        )
+                        else 0,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.

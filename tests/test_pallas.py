@@ -176,3 +176,82 @@ def test_two_pass_multidraw_init_chain():
     vp = rasterize_vis_pallas(ts_b, W, H, interpret=True, two_pass=True, init=vp, id_offset=10)
     np.testing.assert_array_equal(np.asarray(vx.tri_id), np.asarray(vp.tri_id))
     np.testing.assert_array_equal(np.asarray(vx.depth_q), np.asarray(vp.depth_q))
+
+
+# ---------------------------------------------------------------------------
+# Batched-reduction kernel (raster_batch): bit-identity incl. tie semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compare", ["less", "less_equal", "greater", "greater_equal"])
+def test_batched_matches_sequential(compare):
+    clip = random_clip(11, 40)
+    W, H = 96, 64
+    clear = 0.5 if compare.startswith("greater") else 1.0
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    vs = rasterize_vis_pallas(
+        ts, W, H, depth_compare=compare, depth_clear=clear, interpret=True
+    )
+    vb = rasterize_vis_pallas(
+        ts, W, H, depth_compare=compare, depth_clear=clear, interpret=True, batch=8
+    )
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vs.depth_q), np.asarray(vb.depth_q))
+    np.testing.assert_array_equal(np.asarray(vs.b2), np.asarray(vb.b2))
+
+
+@pytest.mark.parametrize("compare", ["less", "less_equal", "greater", "greater_equal"])
+def test_batched_equal_depth_ties(compare):
+    """Coplanar identical triangles: the winner is decided purely by the
+    tie-break (first for strict compares, last for *_equal) — the regime
+    where a reduction could silently diverge from the sequential spec."""
+    tri = np.asarray(
+        [[[-0.5, -0.5, 0.3, 1], [0.5, -0.5, 0.3, 1], [0, 0.5, 0.3, 1]]], np.float32
+    )
+    clip = np.concatenate([tri] * 6)
+    W, H = 96, 64
+    clear = 0.0 if compare.startswith("greater") else 1.0
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    vs = rasterize_vis_pallas(
+        ts, W, H, depth_compare=compare, depth_clear=clear, interpret=True
+    )
+    vb = rasterize_vis_pallas(
+        ts, W, H, depth_compare=compare, depth_clear=clear, interpret=True, batch=4
+    )
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    win = np.unique(np.asarray(vb.tri_id)[np.asarray(vb.tri_id) >= 0])
+    assert win.size == 1  # the tie actually happened and one triangle won
+    assert win[0] == (0 if compare in ("less", "greater") else 5)
+
+
+def test_batched_init_chain_with_channels():
+    clip_a, clip_b = random_clip(12, 16), random_clip(13, 24)
+    rng = np.random.default_rng(14)
+    ch_a = rng.normal(size=(16, 3, 5)).astype(np.float32)
+    ch_b = rng.normal(size=(24, 3, 5)).astype(np.float32)
+    W, H = 96, 64
+    ts_a = setup_triangles(jnp.asarray(clip_a), W, H)
+    ts_b = setup_triangles(jnp.asarray(clip_b), W, H)
+    va, _, _ = rasterize_vis_pallas(
+        ts_a, W, H, interpret=True, batch=8, channels=jnp.asarray(ch_a)
+    )
+    vb, ib, _ = rasterize_vis_pallas(
+        ts_b, W, H, interpret=True, batch=8, channels=jnp.asarray(ch_b),
+        init=va, id_offset=16,
+    )
+    sa, _, _ = rasterize_vis_pallas(ts_a, W, H, interpret=True, channels=jnp.asarray(ch_a))
+    sb, isb, _ = rasterize_vis_pallas(
+        ts_b, W, H, interpret=True, channels=jnp.asarray(ch_b), init=sa, id_offset=16
+    )
+    np.testing.assert_array_equal(np.asarray(vb.tri_id), np.asarray(sb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vb.depth_q), np.asarray(sb.depth_q))
+    np.testing.assert_allclose(np.asarray(ib), np.asarray(isb), atol=1e-6)
+
+
+def test_batched_rejects_ineligible_modes():
+    clip = random_clip(15, 8)
+    ts = setup_triangles(jnp.asarray(clip), 96, 64)
+    with pytest.raises(ValueError):
+        rasterize_vis_pallas(
+            ts, 96, 64, depth_compare="not_equal", interpret=True, batch=8
+        )
