@@ -173,17 +173,29 @@ def bin_triangles(
     channels=None,
     perspective: bool = True,
     msaa4: bool = False,
+    origin=(0, 0),
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
     The anchored-exactness proofs require every pixel of a tile to be
     within 128px of both the tile origin and its canonical 128-grid
     anchor, so tile_w and tile_h must each divide 128 (or equal 128).
+
+    ``origin`` is the global pixel coordinate of this framebuffer's
+    top-left corner — (0, 0) single-device; the (possibly traced)
+    per-shard offset for tile-parallel rendering.  width/height are the
+    LOCAL extent.  All record quantities (edge anchors, canonical depth
+    tiles) are evaluated in global coordinates, which is what makes a
+    sharded render bit-identical to a monolithic one; for the proofs to
+    hold, origin must be a multiple of the tile size (shard extents are
+    tile-aligned in parallel/tiled.py).
     """
     if 128 % tile_w and tile_w != 128:
         raise ValueError("tile_w must divide 128")
     if 128 % tile_h and tile_h != 128:
         raise ValueError("tile_h must divide 128")
+    origin_x = jnp.asarray(origin[0], jnp.int32)
+    origin_y = jnp.asarray(origin[1], jnp.int32)
     num_tx = -(-width // tile_w)
     num_ty = -(-height // tile_h)
     num_tiles = num_tx * num_ty
@@ -204,12 +216,20 @@ def bin_triangles(
         )
 
     # ---- pair expansion (tri-major, draw order) --------------------------
-    x0 = ts.bbox[:, 0] // tile_w
-    y0 = ts.bbox[:, 1] // tile_h
-    x1 = (ts.bbox[:, 2] - 1) // tile_w
-    y1 = (ts.bbox[:, 3] - 1) // tile_h
-    bw = jnp.where(ts.valid, x1 - x0 + 1, 0)
-    bh = jnp.where(ts.valid, y1 - y0 + 1, 0)
+    # bboxes are global; clip to this shard's window, then tile indices are
+    # local to the shard's grid.
+    bx0 = jnp.maximum(ts.bbox[:, 0] - origin_x, 0)
+    by0 = jnp.maximum(ts.bbox[:, 1] - origin_y, 0)
+    bx1 = jnp.minimum(ts.bbox[:, 2] - origin_x, width)
+    by1 = jnp.minimum(ts.bbox[:, 3] - origin_y, height)
+    nonempty = (bx1 > bx0) & (by1 > by0)
+    x0 = bx0 // tile_w
+    y0 = by0 // tile_h
+    x1 = (bx1 - 1) // tile_w
+    y1 = (by1 - 1) // tile_h
+    live = ts.valid & nonempty
+    bw = jnp.where(live, x1 - x0 + 1, 0)
+    bh = jnp.where(live, y1 - y0 + 1, 0)
     k = bw * bh
 
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(k, dtype=jnp.int32)])
@@ -251,8 +271,8 @@ def bin_triangles(
     ti_s = ti[t_slot]  # ONE wide int gather
     tf_s = tf[t_slot]  # ONE wide f32 gather
 
-    ox = s_tile_x * tile_w  # tile-origin pixel
-    oy = s_tile_y * tile_h
+    ox = s_tile_x * tile_w + origin_x  # tile-origin pixel (global coords)
+    oy = s_tile_y * tile_h + origin_y
     ox16 = ox * jnp.int32(fp.SUBPIXEL_SCALE)
     oy16 = oy * jnp.int32(fp.SUBPIXEL_SCALE)
 

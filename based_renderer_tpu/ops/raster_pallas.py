@@ -77,6 +77,7 @@ def _raster_kernel(
     skip_losers: bool,
     stencil=None,
     stencil_clear: int = 0,
+    unroll: int = 1,
 ):
     # rest = [init blocks x5(+stencil) if has_init] + outputs (5 + 1 invw +
     # num_channels + stencil?) + scratch (2 chunks + int tiles + f32 tiles
@@ -239,7 +240,27 @@ def _raster_kernel(
 
         lo = jnp.maximum(skip - c * CHUNK, 0)
         hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
-        jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
+        if unroll > 1:
+            # Fixed-trip unrolled loop with per-record live masking: the
+            # scalar loop machinery (bounds checks, scalar reads) is the
+            # dense-mesh floor, so amortize it across ``unroll`` records.
+            def rec_masked(i, _):
+                @pl.when((i >= lo) & (i < hi_b))
+                def _():
+                    rec_body(i, 0)
+
+                return 0
+
+            def u_body(u, _):
+                for r in range(unroll):
+                    rec_masked(u * unroll + r, 0)
+                return 0
+
+            jax.lax.fori_loop(
+                lo // unroll, pl.cdiv(hi_b, unroll), u_body, 0, unroll=False
+            )
+        else:
+            jax.lax.fori_loop(lo, hi_b, rec_body, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
@@ -947,6 +968,7 @@ def _raster_kernel_msaa4(
         "stencil",
         "stencil_clear",
         "batch",
+        "unroll",
     ),
 )
 def rasterize_vis_pallas(
@@ -974,6 +996,8 @@ def rasterize_vis_pallas(
     stencil=None,
     stencil_clear: int = 0,
     batch: int = 0,
+    unroll: int = 1,
+    origin=(0, 0),
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -1009,6 +1033,7 @@ def rasterize_vis_pallas(
         channels=channels,
         perspective=perspective,
         msaa4=msaa4,
+        origin=origin,
     )
     out = rasterize_binned(
         binned,
@@ -1031,6 +1056,7 @@ def rasterize_vis_pallas(
         stencil=stencil,
         stencil_clear=stencil_clear,
         batch=batch,
+        unroll=unroll,
     )
     if not return_overflow:
         return out
@@ -1060,6 +1086,7 @@ def rasterize_binned(
     stencil=None,
     stencil_clear: int = 0,
     batch: int = 0,
+    unroll: int = 1,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -1132,7 +1159,9 @@ def rasterize_binned(
     elif two_pass:
         kernel = functools.partial(_raster_kernel_two_pass, **common)
     else:
-        kernel = functools.partial(_raster_kernel, skip_losers=skip_losers, **common)
+        kernel = functools.partial(
+            _raster_kernel, skip_losers=skip_losers, unroll=unroll, **common
+        )
 
     if msaa4:
         tile_block = lambda: pl.BlockSpec(

@@ -1,5 +1,5 @@
 """Multi-chip SPMD rendering over jax.sharding meshes."""
 
-from .tiled import TiledRenderer, render_tiled
+from .tiled import TiledRenderer
 
-__all__ = ["TiledRenderer", "render_tiled"]
+__all__ = ["TiledRenderer"]

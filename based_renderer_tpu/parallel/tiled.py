@@ -3,21 +3,25 @@
 The reference has no multi-GPU story at all (SURVEY.md §2: no NCCL/MPI,
 one device); on TPU the natural scale-out axis for a renderer is
 *screen-space data parallelism*: shard the framebuffer across a
-``jax.sharding.Mesh`` with axes ("y", "x"), render each tile on its own
-chip against replicated (or geometry-sharded) triangle data, and let the
-output sharding BE the image partition — no gather needed unless the host
-reads the full frame.
+``jax.sharding.Mesh`` with axes ("y", "x"), render each shard on its own
+chip, and let the output sharding BE the image partition — no gather
+needed unless the host reads the full frame.
 
-Two parallel axes are implemented:
-  * tile parallelism (axes "y", "x"): each device rasterizes the full
-    triangle set into its own framebuffer tile.  Zero inter-chip
-    communication during the frame; collectives appear only if the caller
-    resharsds/reads the image.
-  * geometry parallelism (axis "g", optional): triangles are sharded
-    across "g"; each device rasterizes its shard over its tile, and the
-    per-pixel winners are merged with a packed depth|id minimum over ICI
-    (one all-reduce) — a depth-compositing collective, the renderer
-    equivalent of data-parallel gradient reduction.
+Two parallel axes:
+  * tile parallelism (axes "y", "x"): each device runs the FULL frame
+    program (multi-draw, blending, stencil, coverage MSAA, Pallas
+    rasterization — renderer._build_program with a shard context) over
+    its own framebuffer window, binning triangles against its local tile
+    grid in global coordinates.  Zero inter-chip communication during
+    the frame.
+  * geometry parallelism (axis "g", optional): each draw's triangle
+    stream is sliced by the "g" index, every device rasterizes its slice
+    over its window, and the per-pixel winners are depth-composited over
+    ICI (a handful of pmin/pmax all-reduces per draw) — the renderer
+    equivalent of data-parallel gradient reduction.  Requires the Pallas
+    backend: its plane-interpolated varyings ride along the composite,
+    so the merged winner is shadeable on every shard with no further
+    communication.
 
 Because every spec quantity (edge anchors, canonical depth tiles) is
 computed in *global* pixel coordinates, the tiled result is bit-identical
@@ -27,23 +31,15 @@ virtual CPU mesh.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from .. import shader as shader_lib
-from ..ops import fixedpoint as fp
-from ..ops import raster_xla
+from ..renderer import Renderer, RendererConfig, FrameResult
 from ..ops.raster_xla import VisBuffer
-from ..ops.setup import setup_triangles
-from ..ops.vertex import expand_instances, gather_triangles
-from ..scene import Mesh as SceneMesh
 
 
-def _merge_vis_over_axis(vis: VisBuffer, axis: str, depth_state) -> VisBuffer:
+def _merge_vis_over_axis(vis: VisBuffer, extras: list, axis: str, depth_state):
     """Depth-composite visibility buffers across a mesh axis, reproducing
     the sequential rasterizer's winner semantics for the pipeline's depth
     state (global triangle ids are disjoint and draw-ordered across a "g"
@@ -59,7 +55,10 @@ def _merge_vis_over_axis(vis: VisBuffer, axis: str, depth_state) -> VisBuffer:
       last-drawn passing fragment = max id ("order merge").
     * "not_equal" with test+write is inherently sequential (each write
       changes the next fragment's pass predicate) and cannot be composited
-      from per-shard renders — render_tiled rejects it up front.
+      from per-shard renders — TiledRenderer rejects it up front.
+
+    ``extras``: additional float planes (interp channels, invw) whose
+    winning-shard values are propagated alongside the barycentrics.
     """
     test, write, compare = depth_state.test, depth_state.write, depth_state.compare
     big = jnp.int32(2**30)
@@ -96,173 +95,194 @@ def _merge_vis_over_axis(vis: VisBuffer, axis: str, depth_state) -> VisBuffer:
         )
         depth_q = jnp.where(tid_win >= 0, picked_d, vis.depth_q)
 
-    def pick(x):
-        got = jax.lax.pmax(jnp.where(won, x, jnp.float32(-jnp.inf)), axis)
-        return jnp.where(tid_win >= 0, got, jnp.float32(0.0))
+    def pick(x, background=0.0):
+        w = won
+        while w.ndim < x.ndim:
+            w = w[None]
+        got = jax.lax.pmax(jnp.where(w, x, jnp.float32(-jnp.inf)), axis)
+        keep = tid_win
+        while keep.ndim < x.ndim:
+            keep = keep[None]
+        return jnp.where(keep >= 0, got, jnp.float32(background))
 
-    return VisBuffer(
+    merged = VisBuffer(
         tri_id=tid_win,
         depth_q=depth_q,
         b0=pick(vis.b0),
         b1=pick(vis.b1),
         b2=pick(vis.b2),
     )
-
-
-def render_tiled(
-    mesh: Mesh,
-    clip_tri: jnp.ndarray,
-    varyings: dict,
-    fragment_fn,
-    uniforms,
-    width: int,
-    height: int,
-    pipeline,
-    clear_color,
-    clear_depth: float = 1.0,
-    geometry_axis: str | None = None,
-):
-    """Render one draw over a device mesh with axes ("y", "x"[, "g"]).
-
-    clip_tri/varyings are replicated (or sharded over "g" when
-    geometry_axis is given).  Returns the full (H, W, 4) image, sharded
-    over ("y", "x").
-    """
-    axes = mesh.axis_names
-    if (
-        geometry_axis
-        and pipeline.depth.test
-        and pipeline.depth.write
-        and pipeline.depth.compare == "not_equal"
-    ):
-        raise ValueError(
-            "depth compare 'not_equal' with depth write is sequential per "
-            "pixel and cannot be composited across a geometry axis"
-        )
-    ny = mesh.shape["y"]
-    nx = mesh.shape["x"]
-    if height % ny or width % nx:
-        raise ValueError(f"framebuffer {width}x{height} not divisible by mesh {nx}x{ny}")
-    tile_h, tile_w = height // ny, width // nx
-    ng = mesh.shape[geometry_axis] if geometry_axis else 1
-    num_tris = clip_tri.shape[0]
-
-    tri_spec = P(geometry_axis) if geometry_axis else P()
-    var_spec = jax.tree.map(lambda _: tri_spec, varyings)
-    in_specs = (tri_spec, var_spec, jax.tree.map(lambda _: P(), uniforms))
-    # Color ships planar (4, H, W): device (H, W, 4) buffers lane-pad 32x.
-    out_specs = (P(None, "y", "x"), P("y", "x"), P("y", "x"))
-
-    def shard_fn(clip_shard, var_shard, unif):
-        iy = jax.lax.axis_index("y")
-        ix = jax.lax.axis_index("x")
-        y0 = iy * tile_h
-        x0 = ix * tile_w
-        ts = setup_triangles(
-            clip_shard,
-            width,
-            height,
-            cull_mode=pipeline.cull_mode,
-            front_face=pipeline.front_face,
-        )
-        id_off = (jax.lax.axis_index(geometry_axis) * (num_tris // ng)) if geometry_axis else 0
-        vis = raster_xla.rasterize_vis(
-            ts,
-            tile_w,
-            tile_h,
-            depth_test=pipeline.depth.test,
-            depth_compare=pipeline.depth.compare,
-            depth_write=pipeline.depth.write,
-            depth_clip=pipeline.depth.clip,
-            depth_clear=clear_depth,
-            id_offset=id_off,
-            origin=(x0, y0),
-        )
-        if geometry_axis:
-            vis = _merge_vis_over_axis(vis, geometry_axis, pipeline.depth)
-            # After the merge every "g" shard holds the global winner; the
-            # winning shard's barycentrics were propagated, but varyings
-            # live on the owner shard — gather them by re-localizing ids.
-            local = vis.tri_id - id_off
-            own = (local >= 0) & (local < clip_shard.shape[0])
-            vis_local = vis._replace(tri_id=jnp.where(own, local, -1))
-            rgba = raster_xla.shade_deferred(
-                vis_local,
-                ts,
-                var_shard,
-                fragment_fn,
-                unif,
-                background=jnp.zeros((tile_h, tile_w, 4), jnp.float32),
-                perspective=pipeline.perspective_correct,
-            )
-            rgba = jnp.where(own[..., None], rgba, 0.0)
-            rgba = jax.lax.psum(rgba, geometry_axis)
-            bg = jnp.broadcast_to(jnp.asarray(clear_color, jnp.float32), rgba.shape)
-            color = jnp.where((vis.tri_id >= 0)[..., None], rgba, bg)
-            return jnp.transpose(color, (2, 0, 1)), vis.depth_q, vis.tri_id
-        else:
-            color = raster_xla.shade_deferred(
-                vis,
-                ts,
-                var_shard,
-                fragment_fn,
-                unif,
-                background=jnp.broadcast_to(
-                    jnp.asarray(clear_color, jnp.float32), (tile_h, tile_w, 4)
-                ),
-                perspective=pipeline.perspective_correct,
-            )
-        return jnp.transpose(color, (2, 0, 1)), vis.depth_q, vis.tri_id
-
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-    )
-    # Lay the inputs out on the mesh (replicated, or sharded over "g").
-    clip_tri = jax.device_put(clip_tri, NamedSharding(mesh, tri_spec))
-    varyings = jax.device_put(varyings, NamedSharding(mesh, P()) if not geometry_axis else NamedSharding(mesh, tri_spec))
-    uniforms = jax.device_put(uniforms, NamedSharding(mesh, P()))
-    return fn(clip_tri, varyings, uniforms)
+    # invw clears to 1.0 (the rasterizer's background value — it divides).
+    merged_extras = [
+        None if x is None else pick(x, background=1.0 if i == 1 else 0.0)
+        for i, x in enumerate(extras)
+    ]
+    return merged, merged_extras
 
 
 class TiledRenderer:
-    """Multi-chip single-draw renderer over a 2D(+geometry) device mesh.
+    """Multi-chip renderer over a ("y", "x"[, "g"]) device mesh.
 
-    The multi-device counterpart of renderer.Renderer for the flagship
-    demos: one pipeline, one mesh, uniforms per frame.
+    The multi-device counterpart of renderer.Renderer with the same
+    begin_frame/draw/end_frame surface: the full single-device frame
+    program (multi-draw, blending, stencil, coverage MSAA, Pallas
+    rasterization) runs per shard over its framebuffer window via
+    shard_map, with triangles binned in global coordinates.
     """
 
-    def __init__(self, config, device_mesh: Mesh, geometry_axis: str | None = None):
+    def __init__(
+        self,
+        config: RendererConfig,
+        device_mesh: Mesh,
+        geometry_axis: str | None = None,
+    ):
         self.config = config
         self.mesh = device_mesh
         self.geometry_axis = geometry_axis
-        self._jit_cache = {}
+        ny, nx = device_mesh.shape["y"], device_mesh.shape["x"]
+        if config.height % ny or config.width % nx:
+            raise ValueError(
+                f"framebuffer {config.width}x{config.height} not divisible "
+                f"by mesh {nx}x{ny}"
+            )
+        self._lw, self._lh = config.width // nx, config.height // ny
+        if self._lw % 8 or self._lh % 8:
+            raise ValueError("shard extent must be a multiple of 8 pixels")
+        # The inner Renderer provides frame recording + program building;
+        # its device only selects the backend/interpret mode.
+        self._inner = Renderer(config)
+        self._program_cache: dict = {}
 
-    def render(self, pipeline, scene_mesh: SceneMesh, uniforms, instances=None):
-        shd = shader_lib.get(pipeline.shader)
-        attrs, tri_idx = expand_instances(scene_mesh, instances)
-        clip, vary = shd.vertex(attrs, uniforms)
-        clip_tri, var_tri = gather_triangles(clip, vary, tri_idx)
-        if pipeline.near_clip:
-            from ..ops.clip import clip_near
+    # -- frame recording (mirrors Renderer) ---------------------------------
 
-            clip_tri, var_tri = clip_near(clip_tri, var_tri)
+    def begin_frame(self, clear_color=None, clear_depth=None):
+        self._inner.begin_frame(clear_color=clear_color, clear_depth=clear_depth)
+        return self
+
+    def draw(self, pipeline, mesh, uniforms=None, instances=None):
         if self.geometry_axis:
-            ng = self.mesh.shape[self.geometry_axis]
-            t = clip_tri.shape[0]
-            pad = (-t) % ng
-            if pad:
-                clip_tri = jnp.pad(clip_tri, ((0, pad), (0, 0), (0, 0)))
-                var_tri = {k: jnp.pad(v, ((0, pad), (0, 0), (0, 0))) for k, v in var_tri.items()}
-        return render_tiled(
-            self.mesh,
-            clip_tri,
-            var_tri,
-            shd.fragment,
-            uniforms,
-            self.config.width,
-            self.config.height,
-            pipeline,
-            self.config.clear_color,
-            self.config.clear_depth,
-            geometry_axis=self.geometry_axis,
+            if (
+                pipeline.depth.test
+                and pipeline.depth.write
+                and pipeline.depth.compare == "not_equal"
+            ):
+                raise ValueError(
+                    "depth compare 'not_equal' with depth write is sequential "
+                    "per pixel and cannot be composited across a geometry axis"
+                )
+            if pipeline.stencil.enable:
+                raise ValueError(
+                    "stencil updates are sequential per pixel and cannot be "
+                    "composited across a geometry axis"
+                )
+        self._inner.draw(pipeline, mesh, uniforms, instances)
+
+    def end_frame(self) -> FrameResult:
+        inner = self._inner
+        if not inner._in_frame:
+            raise RuntimeError("end_frame without begin_frame")
+        inner._in_frame = False
+        draws = inner._draws
+        inner._draws = []
+        clear_depth = inner._frame_clear[1]
+        key = (inner._cache_key(draws), clear_depth, self.geometry_axis)
+        program = self._program_cache.get(key)
+        if program is None:
+            program = self._build_sharded_program(draws, clear_depth)
+            self._program_cache[key] = program
+        dyn = inner._dynamic_args(draws)
+        clear_color = jnp.asarray(inner._frame_clear[0], jnp.float32)
+        color, depth_q, tri_id, stencil, overflowed = program(dyn, clear_color)
+        return FrameResult(
+            color_planar=color,
+            depth_q=depth_q,
+            tri_id=tri_id,
+            stencil=stencil,
+            overflowed=overflowed,
         )
+
+    def render(self, pipeline, scene_mesh, uniforms, instances=None):
+        """Single-draw convenience (color_planar, depth_q, tri_id)."""
+        self.begin_frame()
+        self.draw(pipeline, scene_mesh, uniforms, instances)
+        f = self.end_frame()
+        return f.color_planar, f.depth_q, f.tri_id
+
+    # -- program construction ------------------------------------------------
+
+    def _build_sharded_program(self, draws, clear_depth: float):
+        inner = self._inner
+        mesh = self.mesh
+        lw, lh = self._lw, self._lh
+        g_axis = self.geometry_axis
+        all_axes = tuple(mesh.axis_names)
+
+        def origin_fn():
+            return (
+                jax.lax.axis_index("x") * lw,
+                jax.lax.axis_index("y") * lh,
+            )
+
+        geometry = None
+        if g_axis:
+            ng = mesh.shape[g_axis]
+
+            def merge_fn(vis, interp, invw, depth_state):
+                vis, (interp, invw) = _merge_vis_over_axis(
+                    vis, [interp, invw], g_axis, depth_state
+                )
+                return vis, interp, invw
+
+            geometry = (ng, lambda: jax.lax.axis_index(g_axis), merge_fn)
+
+        shard = {"origin_fn": origin_fn, "extent": (lw, lh), "geometry": geometry}
+        frame = inner._build_program(draws, clear_depth, jit=False, shard=shard)
+
+        def shard_fn(dyn, clear_color):
+            color, depth_q, tri_id, stencil, overflowed = frame(dyn, clear_color)
+            # One frame-level flag: OR the per-shard binner overflows.
+            overflowed = (
+                jax.lax.pmax(overflowed.astype(jnp.int32), all_axes) > 0
+            )
+            if stencil is None:
+                stencil = jnp.zeros((), jnp.int32)  # placeholder (replicated)
+            return color, depth_q, tri_id, stencil, overflowed
+
+        # Visibility buffers may carry leading sample axes (coverage MSAA);
+        # only the trailing (H, W) dims are sharded.
+        use_stencil = any(d.pipeline.stencil.enable for d in draws)
+        vis_rank = 3 if (self.config.msaa == 4 and inner._use_pallas()) else 2
+        vspec = P(*([None] * (vis_rank - 2) + ["y", "x"]))
+        out_specs = (
+            P(None, "y", "x"),  # planar color
+            vspec,
+            vspec,
+            vspec if use_stencil else P(),
+            P(),
+        )
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+        def program(dyn, clear_color):
+            # Inputs were uploaded committed to one device; replicate them
+            # onto the mesh (geometry slicing happens per shard by index).
+            from jax.sharding import NamedSharding
+
+            repl = NamedSharding(mesh, P())
+            dyn = jax.device_put(dyn, repl)
+            clear_color = jax.device_put(clear_color, repl)
+            color, depth_q, tri_id, stencil, overflowed = fn(dyn, clear_color)
+            return (
+                color,
+                depth_q,
+                tri_id,
+                stencil if use_stencil else None,
+                overflowed,
+            )
+
+        return program

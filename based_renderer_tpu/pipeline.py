@@ -185,6 +185,10 @@ class Pipeline:
     # 128.  0 = sequential kernel.  Ignored (sequential fallback) when the
     # draw is ineligible.
     raster_batch: int = 0
+    # Unroll factor of the sequential kernel's inner record loop (the
+    # scalar loop machinery is part of the dense-mesh floor); must
+    # divide 128.
+    raster_unroll: int = 1
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.
@@ -200,3 +204,5 @@ class Pipeline:
                 raise ValueError(f"raster_tile dims must divide 128, got {self.raster_tile}")
         if self.raster_batch and (self.raster_batch < 0 or 128 % self.raster_batch):
             raise ValueError(f"raster_batch must divide 128, got {self.raster_batch}")
+        if self.raster_unroll < 1 or 128 % self.raster_unroll:
+            raise ValueError(f"raster_unroll must divide 128, got {self.raster_unroll}")

@@ -158,8 +158,8 @@ class Renderer:
     def upload_mesh(self, positions, indices=None, **attrs) -> Mesh:
         return upload_mesh(positions, indices=indices, device=self.device, **attrs)
 
-    def upload_texture(self, image) -> Texture:
-        return upload_texture(image, device=self.device)
+    def upload_texture(self, image, wrap: str = "repeat", mipmaps: bool = False) -> Texture:
+        return upload_texture(image, device=self.device, wrap=wrap, mipmaps=mipmaps)
 
     # -- frame recording ---------------------------------------------------
 
@@ -291,7 +291,20 @@ class Renderer:
             return False
         return self.device.platform not in ("cpu",)  # "auto"
 
-    def _build_program(self, draws, clear_depth: float = 1.0, jit: bool = True):
+    def _build_program(self, draws, clear_depth: float = 1.0, jit: bool = True, shard=None):
+        """Build the frame program.
+
+        ``shard`` (parallel/tiled.py) runs this same frame builder inside a
+        shard_map: a dict with
+          origin_fn: () -> (ox, oy) traced global pixel offset of the shard
+          extent:    (lw, lh) static local framebuffer extent
+          geometry:  (ng, merge_fn) or None — slice each draw's triangle
+                     stream into ng chunks by the geometry-axis index and
+                     depth-composite the per-shard visibility with merge_fn
+        The vertex stage and triangle setup always use GLOBAL viewport
+        coordinates, so the sharded render is bit-identical to the
+        monolithic one.
+        """
         cfg = self.config
         clear_depth_q = jnp.int32(round(clear_depth * fp.DEPTH_ONE_Q))
         use_pallas = self._use_pallas()
@@ -304,11 +317,36 @@ class Renderer:
         scale = 2 if (cfg.msaa == 4 and not coverage_msaa) else 1
         nsamp = 4 if coverage_msaa else 1
         rw, rh = cfg.width * scale, cfg.height * scale
+        if shard is not None:
+            lw, lh = shard["extent"]
+            erw, erh = lw * scale, lh * scale
+        else:
+            erw, erh = rw, rh
         pipelines = [d.pipeline for d in draws]
         shaders = [shader_lib.get(p.shader) for p in pipelines]
+        if shard is not None:
+            for p_ in pipelines:
+                if p_.scissor is not None:
+                    raise ValueError("scissor is not supported on the tiled path")
+            if shard.get("geometry") and not use_pallas:
+                raise ValueError(
+                    "geometry-axis parallelism requires the Pallas backend "
+                    "(plane-interpolated varyings make the depth-composited "
+                    "winner shadeable on every shard)"
+                )
 
         def frame(dyn, clear_color):
-            fbs = (nsamp, rh, rw) if coverage_msaa else (rh, rw)
+            fbs = (nsamp, erh, erw) if coverage_msaa else (erh, erw)
+            if shard is not None:
+                ox, oy = shard["origin_fn"]()
+                raster_origin = (
+                    jnp.asarray(ox, jnp.int32) * scale,
+                    jnp.asarray(oy, jnp.int32) * scale,
+                )
+                geometry = shard.get("geometry")
+            else:
+                raster_origin = (0, 0)
+                geometry = None
             vis = VisBuffer(
                 tri_id=jnp.full(fbs, -1, jnp.int32),
                 depth_q=jnp.full(fbs, clear_depth_q),
@@ -332,6 +370,31 @@ class Renderer:
                     from .ops.clip import clip_near
 
                     clip_tri, var_tri = clip_near(clip_tri, var_tri)
+                ntri_draw = clip_tri.shape[0]
+                if geometry is not None:
+                    # Slice this draw's triangle stream by the geometry-axis
+                    # index: every shard rasterizes 1/ng of the triangles
+                    # (vertex math is replicated — raster is the hot stage),
+                    # then the per-shard winners are depth-composited.
+                    ng, g_idx_fn, _merge = geometry
+                    g_idx = g_idx_fn()
+                    per = -(-ntri_draw // ng)
+                    pad = per * ng - ntri_draw
+                    if pad:
+                        clip_tri = jnp.pad(clip_tri, ((0, pad), (0, 0), (0, 0)))
+                        var_tri = {
+                            k: jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+                            for k, v in var_tri.items()
+                        }
+                    ntri_draw = per * ng
+                    clip_tri = jax.lax.dynamic_slice_in_dim(clip_tri, g_idx * per, per)
+                    var_tri = {
+                        k: jax.lax.dynamic_slice_in_dim(v, g_idx * per, per)
+                        for k, v in var_tri.items()
+                    }
+                    draw_id_offset = offset + g_idx * per
+                else:
+                    draw_id_offset = offset
                 ts = setup_triangles(
                     clip_tri,
                     rw,
@@ -354,12 +417,27 @@ class Renderer:
                         else None
                     )
                     num_t = clip_tri.shape[0]
+                    # Sharded: global tile origins must stay aligned to the
+                    # tile size for the canonical-depth-anchor proof, so
+                    # clamp the tile to divide the shard extent (all values
+                    # divide 128, so the gcd does too).
+                    tile_w_eff, tile_h_eff = pipe.raster_tile
+                    if shard is not None:
+                        import math
+
+                        tile_w_eff = math.gcd(tile_w_eff, erw)
+                        tile_h_eff = math.gcd(tile_h_eff, erh)
+                        if tile_w_eff < 8 or tile_h_eff < 8:
+                            raise ValueError(
+                                f"shard extent {erw}x{erh} incompatible with "
+                                f"raster tiling (needs multiples of 8)"
+                            )
                     out = rasterize_vis_pallas(
                         ts,
-                        rw,
-                        rh,
-                        tile_w=pipe.raster_tile[0],
-                        tile_h=pipe.raster_tile[1],
+                        erw,
+                        erh,
+                        tile_w=tile_w_eff,
+                        tile_h=tile_h_eff,
                         depth_test=pipe.depth.test,
                         depth_compare=pipe.depth.compare,
                         depth_write=pipe.depth.write,
@@ -367,7 +445,8 @@ class Renderer:
                         depth_clear=clear_depth,
                         max_pairs=max(int(num_t * pipe.raster_pairs_factor), 1024),
                         init=None if i == 0 else vis,
-                        id_offset=offset,
+                        id_offset=draw_id_offset,
+                        origin=raster_origin,
                         channels=channels,
                         perspective=pipe.perspective_correct,
                         scissor=self._scaled_scissor(pipe, scale),
@@ -389,6 +468,7 @@ class Renderer:
                             and not pipe.raster_two_pass
                         )
                         else 0,
+                        unroll=pipe.raster_unroll,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
@@ -402,29 +482,35 @@ class Renderer:
                     if vis.stencil is None and prev_stencil is not None:
                         # Stencil-disabled draws leave the attachment as-is.
                         vis = vis._replace(stencil=prev_stencil)
+                    if geometry is not None:
+                        # Depth-composite this draw's per-shard winners so
+                        # every shard continues from the merged state.
+                        merge_fn = geometry[2]
+                        vis, interp, invw = merge_fn(vis, interp, invw, pipe.depth)
                 else:
                     vis = raster_xla.rasterize_vis(
                         ts,
-                        rw,
-                        rh,
+                        erw,
+                        erh,
                         depth_test=pipe.depth.test,
                         depth_compare=pipe.depth.compare,
                         depth_write=pipe.depth.write,
                         depth_clip=pipe.depth.clip,
                         init=vis,
-                        id_offset=offset,
+                        id_offset=draw_id_offset,
+                        origin=raster_origin,
                         scissor=self._scaled_scissor(pipe, scale),
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
                     )
-                per_draw.append((ts, var_tri, offset, ts.valid.shape[0], interp, invw))
-                offset += ts.valid.shape[0]
+                per_draw.append((ts, var_tri, offset, ntri_draw, interp, invw))
+                offset += ntri_draw
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
             # Color is planar (4, rh, rw) on device (see _blend docstring);
             # coverage MSAA carries a leading per-sample axis (S, 4, rh, rw)
             # until the resolve.
-            cshape = (nsamp, 4, rh, rw) if coverage_msaa else (4, rh, rw)
+            cshape = (nsamp, 4, erh, erw) if coverage_msaa else (4, erh, erw)
             clear = clear_color.astype(jnp.float32).reshape(
                 (1,) * (len(cshape) - 3) + (4, 1, 1)
             )
@@ -435,7 +521,7 @@ class Renderer:
                 mask = (vis.tri_id >= off) & (vis.tri_id < off + ntri)
                 local = jnp.where(mask, vis.tri_id - off, -1)
                 vis_local = vis._replace(tri_id=local)
-                if interp is not None or coverage_msaa:
+                if interp is not None or coverage_msaa or use_pallas:
                     # Gather-free shading: attributes were interpolated by
                     # the raster kernel as screen-space planes.  (With
                     # coverage MSAA every array gains a leading sample axis
