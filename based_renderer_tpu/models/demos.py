@@ -54,7 +54,7 @@ def textured_cube_demo(r: Renderer):
     """BASELINE config 3: textured + Lambert-lit cube, back-face culled."""
     data = geometry.cube_mesh_data()
     mesh = r.upload_mesh(data["positions"], uv=data["uv"], normal=data["normal"])
-    tex = r.upload_texture(geometry.checkerboard_texture())
+    tex = r.upload_texture(geometry.checkerboard_texture(), mipmaps=True)
     pipe = Pipeline(
         shader="textured_lit",
         depth=DepthState(test=True, write=True, compare="less"),

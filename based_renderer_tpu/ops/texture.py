@@ -4,6 +4,16 @@ The reference has no textures (its shaders return constant color,
 src/cube.slang:63-67); BASELINE config 3 requires bilinear sampling, so
 this is net-new capability.  Textures are (H, W, C) float32 arrays in HBM;
 sampling is vectorized gathers over the whole framebuffer's UV field.
+
+Two tiers:
+  * raw-array samplers (sample_nearest / sample_bilinear) — build the
+    2x2-neighborhood patch on the fly;
+  * scene.Texture samplers (sample_texture / sample_trilinear) — use the
+    patch rows prebuilt at upload (one flat gather per tap) and the
+    box-filtered mip chain, with the LOD selected from screen-space UV
+    derivatives (lod_from_uv).  Per-level extents/offsets are static
+    Python values selected with a short jnp.where chain — never a
+    per-pixel table lookup, which is pathologically slow on TPU.
 """
 
 from __future__ import annotations
@@ -96,3 +106,103 @@ def sample_bilinear(tex: jnp.ndarray, uv: jnp.ndarray, wrap: str = "repeat") -> 
     top = t00 * (1.0 - ax) + t01 * ax
     bot = t10 * (1.0 - ax) + t11 * ax
     return top * (1.0 - ay) + bot * ay
+
+
+# ---------------------------------------------------------------------------
+# scene.Texture samplers (prebuilt patch rows + mip chain)
+# ---------------------------------------------------------------------------
+
+
+def _select_by_level(lvl, values):
+    """Per-pixel select from a short static list (no table gather)."""
+    out = jnp.full(lvl.shape, jnp.int32(values[0]))
+    for i, v in enumerate(values[1:], start=1):
+        out = jnp.where(lvl == i, jnp.int32(v), out)
+    return out
+
+
+def _sample_packed_level(tex, uv, lvl):
+    """Bilinear tap from the packed patch rows at per-pixel mip level.
+
+    tex: scene.Texture; uv: (..., 2); lvl: (...) int32 in [0, L).
+    One flat gather total.
+    """
+    wrap, c, sizes = tex.meta
+    offs = [0]
+    for h, w in sizes:
+        offs.append(offs[-1] + h * w)
+    w_v = _select_by_level(lvl, [w for _h, w in sizes]).astype(jnp.float32)
+    h_v = _select_by_level(lvl, [h for h, _w in sizes]).astype(jnp.float32)
+    off_v = _select_by_level(lvl, offs[:-1])
+
+    fx = uv[..., 0] * w_v - 0.5
+    fy = uv[..., 1] * h_v - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0.astype(jnp.float32))[..., None]
+    ay = (fy - y0.astype(jnp.float32))[..., None]
+    wi = w_v.astype(jnp.int32)
+    hi = h_v.astype(jnp.int32)
+    if wrap == "repeat":
+        x0w = jnp.mod(x0, wi)
+        y0w = jnp.mod(y0, hi)
+    else:  # clamp
+        x0w = jnp.clip(x0, 0, wi - 1)
+        y0w = jnp.clip(y0, 0, hi - 1)
+        # Below the low edge both taps clamp to texel 0, but the packed
+        # patch's +1 neighbor is texel 1 — neutralize the blend there.
+        ax = jnp.where((x0 < 0)[..., None], 0.0, ax)
+        ay = jnp.where((y0 < 0)[..., None], 0.0, ay)
+    p = tex.packed[off_v + y0w * wi + x0w]  # ONE flat gather
+    t00 = p[..., :c]
+    t01 = p[..., c : 2 * c]
+    t10 = p[..., 2 * c : 3 * c]
+    t11 = p[..., 3 * c :]
+    top = t00 * (1.0 - ax) + t01 * ax
+    bot = t10 * (1.0 - ax) + t11 * ax
+    return top * (1.0 - ay) + bot * ay
+
+
+def lod_from_uv(uv, tex_h: int, tex_w: int):
+    """Mip LOD from screen-space finite differences of the UV field.
+
+    uv: (H, W, 2) interpolated texture coordinates.  The GPU analog is
+    the 2x2-quad derivative; here the whole field exists, so forward
+    differences (with the last row/column clamped) serve.  Object edges
+    inherit their neighbor's LOD — the same artifact quad derivatives
+    have.
+    """
+    du_dx = jnp.diff(uv, axis=1, append=uv[:, -1:])
+    du_dy = jnp.diff(uv, axis=0, append=uv[-1:])
+    scale = jnp.asarray([tex_w, tex_h], jnp.float32)
+    rho = jnp.maximum(
+        jnp.max(jnp.abs(du_dx) * scale, axis=-1),
+        jnp.max(jnp.abs(du_dy) * scale, axis=-1),
+    )
+    return jnp.log2(jnp.maximum(rho, jnp.float32(1e-12)))
+
+
+def sample_texture(tex, uv, lod=None):
+    """Sample a scene.Texture: bilinear (single level) or trilinear
+    (mipmapped + lod given).  Accepts raw arrays for back-compat."""
+    if not hasattr(tex, "meta"):  # raw (H, W, C) array
+        return sample_bilinear(tex, uv)
+    num_levels = len(tex.meta[2])
+    if num_levels == 1 or lod is None:
+        return _sample_packed_level(tex, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
+    return sample_trilinear(tex, uv, lod)
+
+
+def sample_trilinear(tex, uv, lod):
+    """Trilinear mip sample: bilinear taps at floor/ceil levels, lerped.
+
+    Two flat gathers total.  lod: (...) float32 (lod_from_uv).
+    """
+    num_levels = len(tex.meta[2])
+    lodc = jnp.clip(lod, 0.0, float(num_levels - 1))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    frac = (lodc - l0.astype(jnp.float32))[..., None]
+    s0 = _sample_packed_level(tex, uv, l0)
+    s1 = _sample_packed_level(tex, uv, l1)
+    return s0 * (1.0 - frac) + s1 * frac

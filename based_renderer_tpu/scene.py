@@ -51,13 +51,47 @@ class Mesh:
 
 @dataclass(frozen=True)
 class Texture:
-    """Device-resident (H, W, C) float32 texture."""
+    """Device-resident (H, W, C) float32 texture + sampler state.
 
-    data: jnp.ndarray
+    The wrap mode and mip chain are baked at upload (the VkSampler /
+    vkCmdBlitImage-mip-generation analog — the reference has neither,
+    its shaders are untextured, src/cube.slang:63-67).
+
+    ``packed`` holds, per mip level, every texel's 2x2 neighborhood as
+    one row of 4*C floats, all levels concatenated — so a bilinear tap
+    at any level is a SINGLE flat gather (TPUs have no gather unit;
+    see ops/texture.py).  ``meta`` is static: (wrap, C, ((h, w), ...)).
+    Registered as a jax pytree so textures pass through jit in uniforms
+    with the static sampler state intact.
+    """
+
+    data: jnp.ndarray  # (H, W, C) float32 level 0
+    packed: jnp.ndarray  # (sum_l h_l*w_l, 4*C) float32 patch rows
+    meta: tuple  # (wrap: str, channels: int, sizes: ((h, w), ...))
 
     @property
     def shape(self):
         return self.data.shape
+
+    @property
+    def wrap(self) -> str:
+        return self.meta[0]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.meta[2])
+
+
+def _texture_flatten(t: Texture):
+    return (t.data, t.packed), t.meta
+
+
+def _texture_unflatten(meta, children):
+    data, packed = children
+    return Texture(data=data, packed=packed, meta=meta)
+
+
+jax.tree_util.register_pytree_node(Texture, _texture_flatten, _texture_unflatten)
 
 
 def upload_mesh(positions, indices=None, device=None, **attrs) -> Mesh:
@@ -87,14 +121,59 @@ def upload_mesh(positions, indices=None, device=None, **attrs) -> Mesh:
     return Mesh(attributes=a, indices=idx)
 
 
-def upload_texture(image, device=None) -> Texture:
-    """Upload an image as a float32 texture (uint8 input is normalized)."""
+def _patch_rows(level: np.ndarray, wrap: str) -> np.ndarray:
+    """Pack each texel's 2x2 neighborhood into one (4*C,) row."""
+    if wrap == "repeat":
+        tx1 = np.roll(level, -1, axis=1)
+        ty1 = np.roll(level, -1, axis=0)
+        txy = np.roll(tx1, -1, axis=0)
+    else:  # clamp / mirror both clamp the +1 neighbor at the high edge
+        tx1 = np.concatenate([level[:, 1:], level[:, -1:]], axis=1)
+        ty1 = np.concatenate([level[1:], level[-1:]], axis=0)
+        txy = np.concatenate([tx1[1:], tx1[-1:]], axis=0)
+    h, w, c = level.shape
+    return np.concatenate([level, tx1, ty1, txy], axis=-1).reshape(h * w, 4 * c)
+
+
+def upload_texture(image, device=None, wrap: str = "repeat", mipmaps: bool = False) -> Texture:
+    """Upload an image as a float32 texture (uint8 input is normalized).
+
+    Args:
+      wrap: "repeat" | "clamp" — the sampler address mode, baked into the
+        packed patch layout at upload.
+      mipmaps: build a full box-filtered mip chain down to 1x1.  Requires
+        power-of-two dimensions (level extents and offsets are then pure
+        shift arithmetic at sample time — no per-pixel table lookups,
+        which are pathologically slow on TPU).
+    """
     img = np.asarray(image)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, _c = img.shape
+    if mipmaps and (h & (h - 1) or w & (w - 1)):
+        raise ValueError(f"mipmapped textures need power-of-two dims, got {w}x{h}")
+
+    levels = [img]
+    if mipmaps:
+        cur = img
+        while cur.shape[0] > 1 or cur.shape[1] > 1:
+            nh, nw = max(cur.shape[0] // 2, 1), max(cur.shape[1] // 2, 1)
+            if cur.shape[0] > 1 and cur.shape[1] > 1:
+                cur = cur.reshape(nh, 2, nw, 2, -1).mean(axis=(1, 3))
+            elif cur.shape[0] > 1:
+                cur = cur.reshape(nh, 2, 1, -1).mean(axis=1)
+            else:
+                cur = cur.reshape(1, nw, 2, -1).mean(axis=2)
+            levels.append(cur.astype(np.float32))
+
+    packed = np.concatenate([_patch_rows(lv, wrap) for lv in levels], axis=0)
+    meta = (wrap, levels[0].shape[-1], tuple((lv.shape[0], lv.shape[1]) for lv in levels))
     data = jnp.asarray(img, jnp.float32)
-    if data.ndim == 2:
-        data = data[..., None]
+    packed_j = jnp.asarray(packed, jnp.float32)
     if device is not None:
         data = jax.device_put(data, device)
-    return Texture(data=data)
+        packed_j = jax.device_put(packed_j, device)
+    return Texture(data=data, packed=packed_j, meta=meta)

@@ -150,8 +150,17 @@ def _textured_lit_vs(attrs, uniforms):
 
 
 def _textured_lit_fs(frag, uniforms):
-    """Bilinear-sampled albedo * Lambert diffuse (BASELINE config 3)."""
-    albedo = tex_ops.sample_bilinear(uniforms["texture"], frag["uv"])
+    """Sampled albedo * Lambert diffuse (BASELINE config 3).
+
+    Mipmapped textures sample trilinearly with the LOD derived from
+    screen-space UV derivatives; otherwise a single bilinear tap."""
+    tex = uniforms["texture"]
+    uv = frag["uv"]
+    if hasattr(tex, "meta") and len(tex.meta[2]) > 1:
+        th, tw = tex.meta[2][0]
+        albedo = tex_ops.sample_texture(tex, uv, tex_ops.lod_from_uv(uv, th, tw))
+    else:
+        albedo = tex_ops.sample_texture(tex, uv)
     n = frag["normal"]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
     light_dir = uniforms.get("light_dir", jnp.asarray([0.0, 0.0, -1.0], jnp.float32))

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import pytest
 
 from based_renderer_tpu.ops import texture as tex_ops
+from based_renderer_tpu.ops import texture
+from based_renderer_tpu.models import geometry
 
 
 def reference_bilinear(tex, uv, wrap):
@@ -52,3 +54,82 @@ def test_bilinear_at_centers_is_exact():
     uv = np.array([[(x + 0.5) / 4, (y + 0.5) / 4] for y in range(4) for x in range(4)], np.float32)
     got = np.asarray(tex_ops.sample_bilinear(jnp.asarray(tex), jnp.asarray(uv)))
     np.testing.assert_allclose(got, tex.reshape(16, 2), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# scene.Texture (packed patches + mip chain)
+# ---------------------------------------------------------------------------
+
+
+def _uv_grid(h, w, scale=1.0):
+    v, u = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack([(u + 0.5) / w * scale, (v + 0.5) / h * scale], axis=-1)
+
+
+@pytest.mark.parametrize("wrap", ["repeat", "clamp"])
+def test_packed_sampler_matches_raw_bilinear(wrap):
+    from based_renderer_tpu.scene import upload_texture
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(16, 32, 3)).astype(np.float32)
+    tex = upload_texture(img, wrap=wrap)
+    uv = jnp.asarray(rng.uniform(-0.3, 1.3, size=(24, 24, 2)).astype(np.float32))
+    a = np.asarray(texture.sample_bilinear(jnp.asarray(img), uv, wrap=wrap))
+    b = np.asarray(texture.sample_texture(tex, uv))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_mip_chain_shapes_and_means():
+    from based_renderer_tpu.scene import upload_texture
+
+    img = geometry.checkerboard_texture(64)
+    tex = upload_texture(img, mipmaps=True)
+    assert tex.num_levels == 7  # 64 -> 1
+    # Every level preserves the mean (box filter).
+    wrap, c, sizes = tex.meta
+    assert sizes[0] == (64, 64) and sizes[-1] == (1, 1)
+
+
+def test_trilinear_lod_blends_to_average():
+    from based_renderer_tpu.scene import upload_texture
+
+    img = geometry.checkerboard_texture(64)
+    tex = upload_texture(img, mipmaps=True)
+    uv = jnp.asarray(_uv_grid(32, 32))
+    s0 = np.asarray(texture.sample_trilinear(tex, uv, jnp.zeros((32, 32), jnp.float32)))
+    b0 = np.asarray(texture.sample_bilinear(jnp.asarray(img), uv))
+    np.testing.assert_allclose(s0, b0, atol=1e-6)  # lod 0 == bilinear
+    stop = np.asarray(
+        texture.sample_trilinear(tex, uv, jnp.full((32, 32), 6.0, jnp.float32))
+    )
+    np.testing.assert_allclose(
+        stop, np.broadcast_to(img.reshape(-1, 3).mean(0), stop.shape), rtol=0, atol=3e-4
+    )
+
+
+def test_mipmaps_reduce_minification_aliasing():
+    """Sampling a checkerboard at 8x minification: trilinear-with-derived-
+    LOD output variance collapses toward the mean, bilinear's does not."""
+    from based_renderer_tpu.scene import upload_texture
+
+    img = geometry.checkerboard_texture(256)
+    tex = upload_texture(img, mipmaps=True)
+    uv_np = _uv_grid(64, 64, scale=19.37)  # ~19 repeats across 64 px => minified
+    uv = jnp.asarray(uv_np)
+    lod = texture.lod_from_uv(uv, 256, 256)
+    tri = np.asarray(texture.sample_texture(tex, uv, lod))
+    bil = np.asarray(texture.sample_bilinear(jnp.asarray(img), uv))
+    assert float(np.asarray(lod).mean()) > 4.0  # genuinely minified
+    assert tri[..., 0].std() < 0.25 * bil[..., 0].std()
+
+
+def test_renderer_textured_cube_mipmapped():
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+
+    cfg = brt.RendererConfig(width=96, height=64, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.textured_cube_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.5))
+    c = f.color_np()
+    assert np.isfinite(c).all() and (np.asarray(f.tri_id) >= 0).any()
