@@ -161,6 +161,15 @@ class Renderer:
     def upload_texture(self, image, wrap: str = "repeat", mipmaps: bool = False) -> Texture:
         return upload_texture(image, device=self.device, wrap=wrap, mipmaps=mipmaps)
 
+    def resize(self, width: int, height: int):
+        """Change the framebuffer extent (the swapchain-recreation analog:
+        the reference catches vk::OutOfDateKHRError and would rebuild,
+        main.cpp:713-716).  Programs are cached per extent, so switching
+        back to a previous size is free."""
+        if self._in_frame:
+            raise FrameError("resize during an open frame")
+        self.config = dataclasses.replace(self.config, width=width, height=height)
+
     # -- frame recording ---------------------------------------------------
 
     def begin_frame(self, clear_color=None, clear_depth=None):
@@ -186,7 +195,38 @@ class Renderer:
                     f"shader {pipeline.shader!r} needs attribute {need!r}; "
                     f"mesh has {sorted(mesh.attributes)}"
                 )
+        if self.config.debug:
+            self._validate_draw(pipeline, mesh, instances)
         self._draws.append(_DrawCmd(pipeline, mesh, uniforms or {}, instances))
+
+    def _validate_draw(self, pipeline: Pipeline, mesh: Mesh, instances):
+        """Draw-time validation (debug only — the validation-layer analog,
+        main.cpp:830-852).  Checks shapes/dtypes and index bounds; index
+        checking syncs the device, which is exactly what validation layers
+        cost on the reference too."""
+        n = mesh.num_vertices
+        for k, v in mesh.attributes.items():
+            if v.ndim != 2:
+                raise DrawError(f"attribute {k!r} must be (N, C), got {v.shape}")
+            if v.shape[0] != n:
+                raise DrawError(
+                    f"attribute {k!r} has {v.shape[0]} rows; position has {n}"
+                )
+        p = mesh.attributes["position"]
+        if p.shape[1] not in (2, 3, 4):
+            raise DrawError(f"position must be (N, 2|3|4), got {p.shape}")
+        if mesh.indices is not None:
+            idx = np.asarray(mesh.indices)
+            if idx.ndim != 2 or idx.shape[1] != 3:
+                raise DrawError(f"indices must be (T, 3), got {idx.shape}")
+            if idx.size and (idx.min() < 0 or idx.max() >= n):
+                raise DrawError(
+                    f"index out of bounds: [{idx.min()}, {idx.max()}] vs {n} vertices"
+                )
+        if instances:
+            counts = {k: np.shape(v)[0] for k, v in instances.items()}
+            if len(set(counts.values())) > 1:
+                raise DrawError(f"instance attribute counts differ: {counts}")
 
     def end_frame(self) -> FrameResult:
         if not self._in_frame:
@@ -329,7 +369,9 @@ class Renderer:
                 if p_.scissor is not None:
                     raise ValueError("scissor is not supported on the tiled path")
             if shard.get("geometry") and not use_pallas:
-                raise ValueError(
+                from .utils.errors import FeatureNotPresentError
+
+                raise FeatureNotPresentError(
                     "geometry-axis parallelism requires the Pallas backend "
                     "(plane-interpolated varyings make the depth-composited "
                     "winner shadeable on every shard)"

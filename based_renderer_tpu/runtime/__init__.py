@@ -186,8 +186,13 @@ class PresentRing:
         )
 
     def submit(self, rgba_f32: np.ndarray) -> int:
+        from ..utils.errors import PresentError
+
         a = np.ascontiguousarray(rgba_f32, np.float32)
-        assert a.shape == (self.height, self.width, 4)
+        if a.shape != (self.height, self.width, 4):
+            raise PresentError(
+                f"present expects ({self.height}, {self.width}, 4), got {a.shape}"
+            )
         return self._lib.brt_present_submit(self._h, a.ctypes.data)
 
     def flush(self):
@@ -213,7 +218,9 @@ def write_png(path: str, img_u8: np.ndarray) -> None:
     c = 1 if a.ndim == 2 else a.shape[2]
     rc = lib.brt_write_png(path.encode(), a.ctypes.data, w, h, c)
     if rc != 0:
-        raise IOError(f"brt_write_png failed: {rc}")
+        from ..utils.errors import PresentError
+
+        raise PresentError(f"brt_write_png failed: {rc}")
 
 
 def f32_to_u8(img: np.ndarray) -> np.ndarray:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from . import math3d
 from .ops import texture as tex_ops
+from .utils.errors import ShaderError
 
 
 @dataclass(frozen=True)
@@ -57,7 +58,7 @@ def get(name: str) -> Shader:
     try:
         return _REGISTRY[name]
     except KeyError:
-        raise KeyError(
+        raise ShaderError(
             f"unknown shader {name!r}; registered: {sorted(_REGISTRY)}"
         ) from None
 

@@ -33,8 +33,10 @@ class AllocationError(RendererError):
     """Buffer pool / framebuffer allocation failed (vulkan_allocate analog)."""
 
 
-class ShaderError(RendererError):
-    """Shader lookup or tracing failed (SLANG_CHECK analog, main.cpp:586-606)."""
+class ShaderError(RendererError, KeyError):
+    """Shader lookup or tracing failed (SLANG_CHECK analog, main.cpp:586-606).
+
+    Also a KeyError: registry lookups are dictionary semantics."""
 
 
 class FrameError(RendererError):

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--out", default=None, help="directory for PNG frames")
     ap.add_argument("--vsync", action="store_true", help="pace at fixed_dt")
     ap.add_argument("--backend", default="auto", choices=("auto", "xla", "pallas"))
+    ap.add_argument("--profile", action="store_true",
+                    help="fence + time render/present stages (StageTimer)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -42,6 +44,7 @@ def main():
     from based_renderer_tpu.models import demos
     from based_renderer_tpu import present, runtime
     from based_renderer_tpu.utils.errors import main_guard
+    from based_renderer_tpu.utils.profiling import StageTimer
 
     if args.list:
         print("\n".join(demos.DEMOS))
@@ -68,8 +71,10 @@ def main():
                     os.path.join(args.out, f"frame_{pacer.t:08.3f}.png"), img
                 )
 
+        timer = StageTimer() if args.profile else None
         last, pacer = present.render_loop(
-            r, demo, frames=args.frames, on_frame=on_frame, vsync=args.vsync
+            r, demo, frames=args.frames, on_frame=on_frame, vsync=args.vsync,
+            timer=timer,
         )
         if ring is not None:
             ring.flush()
@@ -78,6 +83,8 @@ def main():
             f"{args.demo}: {args.frames} frames at {cfg.width}x{cfg.height} "
             f"msaa={cfg.msaa} -> {pacer.fps:.1f} fps"
         )
+        if timer is not None:
+            print(timer.report())
 
     main_guard(run)
 

@@ -1,6 +1,7 @@
 """Present layer and batched frame sequences."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -73,3 +74,92 @@ def test_persistent_cache_util(tmp_path):
 
     d = cache.enable_persistent_cache(str(tmp_path / "xla"))
     assert d and (tmp_path / "xla").exists()
+
+
+def test_swapchain_arena_staging_and_resize():
+    """Presented frames land in the native arena staging pool; resize
+    rebuilds it (the swapchain-recreation analog)."""
+    from based_renderer_tpu import runtime
+    from based_renderer_tpu.present import Swapchain
+    from based_renderer_tpu.utils.errors import PresentError
+
+    class FakeFrame:
+        def __init__(self, w, h, v):
+            self._img = np.full((h, w, 4), v, np.float32)
+
+        def color_np(self):
+            return self._img
+
+    chain = Swapchain(depth=2, extent=(16, 8))
+    assert chain.submit(FakeFrame(16, 8, 0.1)) is None
+    img = chain.submit(FakeFrame(16, 8, 0.2))
+    assert img is not None and img.shape == (8, 16, 4)
+    if runtime.available():
+        assert chain._staging is not None  # arena pool actually in use
+        with pytest.raises(PresentError):
+            chain.submit(FakeFrame(4, 4, 0.3))
+            chain.submit(FakeFrame(4, 4, 0.3))
+            chain.flush()
+        chain = Swapchain(depth=2, extent=(16, 8))
+    chain.resize((4, 4))
+    chain.submit(FakeFrame(4, 4, 0.4))
+    out = chain.flush()
+    assert out[-1].shape == (4, 4, 4)
+
+
+def test_swapchain_rejects_non_frames():
+    from based_renderer_tpu.present import Swapchain
+    from based_renderer_tpu.utils.errors import PresentError
+
+    with pytest.raises(PresentError):
+        Swapchain(depth=1).submit(42)
+
+
+def test_render_loop_with_stage_timer():
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+    from based_renderer_tpu.present import render_loop
+    from based_renderer_tpu.utils.profiling import StageTimer
+
+    r = brt.Renderer(brt.RendererConfig(width=64, height=48))
+    timer = StageTimer()
+    last, pacer = render_loop(r, demos.cube_demo(r), frames=4, timer=timer)
+    assert last is not None and last.shape == (48, 64, 4)
+    assert timer.counts["record+dispatch"] == 4
+    assert "present" in timer.report()
+
+
+def test_renderer_resize():
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+
+    r = brt.Renderer(brt.RendererConfig(width=64, height=48))
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    f1 = r.render_frame(pipe, mesh, uniforms(0.1))
+    assert f1.color_np().shape == (48, 64, 4)
+    r.resize(32, 24)
+    f2 = r.render_frame(pipe, mesh, uniforms(0.1))
+    assert f2.color_np().shape == (24, 32, 4)
+    r.resize(64, 48)  # previous extent: program cache hit
+    n = r.num_cached_programs
+    r.render_frame(pipe, mesh, uniforms(0.1))
+    assert r.num_cached_programs == n
+
+
+def test_debug_draw_validation():
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import geometry
+    from based_renderer_tpu.utils.errors import DrawError, ShaderError
+
+    r = brt.Renderer(brt.RendererConfig(width=32, height=32, debug=True))
+    data = geometry.cube_mesh_data()
+    # Out-of-bounds index
+    mesh = r.upload_mesh(data["positions"][:30], indices=np.asarray([[0, 1, 99]]))
+    pipe = brt.Pipeline(shader="flat_mvp")
+    r.begin_frame()
+    with pytest.raises(DrawError, match="out of bounds"):
+        r.draw(pipe, mesh, {})
+    r._in_frame = False
+    # Unknown shader raises the typed ShaderError (still a KeyError)
+    with pytest.raises(ShaderError):
+        brt.shader.get("nope")
