@@ -1,15 +1,14 @@
 """Test configuration: force the CPU backend with 8 virtual devices.
 
-Real-TPU bit-identity tests live in tests/tpu/ and are collected only when
-a TPU is actually attached (they re-exec under the TPU backend).
+Real-TPU checks live in tools/tpu_checks.py and run as a separate process
+against the default (axon TPU) environment.
 """
 
 import os
 
 # Must be set before jax is imported anywhere in the test process.  The
 # session environment pins JAX_PLATFORMS=axon (the tunneled TPU); unit tests
-# run on the virtual 8-device CPU mesh, so force-override.  TPU-hardware
-# tests live in tests/tpu/ and run as separate processes with the env reset.
+# run on the virtual 8-device CPU mesh, so force-override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
