@@ -49,6 +49,50 @@ def check_bit_identity():
             d_ok = np.array_equal(np.asarray(vis.depth_q), ora["depth_q"])
             print(f"seed {seed} {name:6s}: tri_id={t_ok} depth_q={d_ok}", flush=True)
             ok &= t_ok and d_ok
+    # Coverage-sample MSAA-4x (per-sample visibility) under compiled Mosaic.
+    from based_renderer_tpu.ops import fixedpoint as fp
+    from based_renderer_tpu.pipeline import StencilState
+
+    rng = np.random.default_rng(7)
+    n = 24
+    w = rng.uniform(0.5, 3.0, size=(n, 3, 1)).astype(np.float32)
+    xy = rng.uniform(-1.2, 1.2, size=(n, 3, 2)).astype(np.float32) * w
+    z = rng.uniform(0, 1, size=(n, 3, 1)).astype(np.float32) * w
+    clip = np.concatenate([xy, z, w], -1).astype(np.float32)
+    W, H = 256, 128
+    ts = setup_triangles(jnp.asarray(clip), W, H, bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP)
+    vm = rasterize_vis_pallas(ts, W, H, msaa4=True)
+    om = oracle.rasterize_msaa4(clip, W, H)
+    m_ok = np.array_equal(np.asarray(vm.tri_id), om["tri_id"]) and np.array_equal(
+        np.asarray(vm.depth_q), om["depth_q"]
+    )
+    print(f"msaa4 mosaic: {m_ok}", flush=True)
+    ok &= m_ok
+
+    # Stencil ops under compiled Mosaic.
+    st = StencilState(
+        enable=True, compare="greater_equal", ref=0x35, compare_mask=0xF0,
+        write_mask=0x66, pass_op="replace", fail_op="invert",
+        depth_fail_op="decrement_clamp",
+    )
+    ts2 = setup_triangles(jnp.asarray(clip), W, H)
+    vs = rasterize_vis_pallas(ts2, W, H, stencil=st, stencil_clear=0x40)
+    os_ = oracle.rasterize(clip, W, H, stencil=st, stencil_clear=0x40)
+    s_ok = np.array_equal(np.asarray(vs.tri_id), os_["tri_id"]) and np.array_equal(
+        np.asarray(vs.stencil), os_["stencil"]
+    )
+    print(f"stencil mosaic: {s_ok}", flush=True)
+    ok &= s_ok
+
+    # Batched-reduction kernel under compiled Mosaic.
+    vb = rasterize_vis_pallas(ts2, W, H, batch=8)
+    ob = oracle.rasterize(clip, W, H)
+    b_ok = np.array_equal(np.asarray(vb.tri_id), ob["tri_id"]) and np.array_equal(
+        np.asarray(vb.depth_q), ob["depth_q"]
+    )
+    print(f"batched mosaic: {b_ok}", flush=True)
+    ok &= b_ok
+
     print("TPU BIT-IDENTITY:", "PASS" if ok else "FAIL", flush=True)
     return ok
 
