@@ -37,6 +37,8 @@ planes q(p) = q_o + dq_dx*ix + dq_dy*iy evaluated from the tile origin:
          (attr/w numerators when perspective-correct); interpolating
          attributes in the raster kernel replaces classic deferred
          shading's per-pixel vertex-data gathers.
+  9+3K   tri_id as f32 (ftid_col) — exact below 2**24; lets the sublane
+         kernel fetch ALL winner attributes with a single one-hot matmul.
 """
 
 from __future__ import annotations
@@ -64,9 +66,21 @@ def record_width(msaa4: bool) -> int:
 
 def frecord_width(num_channels: int) -> int:
     # Rounded up to a multiple of 8: f32 sublane tiling requires slices
-    # of (W, 128) HBM records to have W % 8 == 0.
-    w = FRECORD_BASE + 3 * num_channels
+    # of (W, 128) HBM records to have W % 8 == 0.  The +1 is the f32
+    # triangle-id column (ftid_col) used by the sublane kernel's one-hot
+    # attribute fetch.
+    w = FRECORD_BASE + 3 * num_channels + 1
     return (w + 7) // 8 * 8
+
+
+def ftid_col(num_channels: int) -> int:
+    """Column of the f32 triangle id in the float records.
+
+    The sublane-parallel kernel recovers every winner attribute with one
+    one-hot matmul over the float records, so the triangle id rides along
+    as a float column — exact for ids below 2**24 (f32 integer range).
+    """
+    return FRECORD_BASE + 3 * num_channels
 
 
 FRECORD_WIDTH = frecord_width(0)  # no-varyings layout
@@ -331,6 +345,7 @@ def bin_triangles(
         pdx = tf_s[:, 3 + 3 * p]
         pdy = tf_s[:, 4 + 3 * p]
         frec_cols += [p00 + pdx * oxf + pdy * oyf, pdx, pdy]
+    frec_cols.append(tid.astype(jnp.float32))  # ftid_col(nch)
     while len(frec_cols) < fw:
         frec_cols.append(jnp.zeros_like(oxf))
     frecords = jnp.pad(jnp.stack(frec_cols, axis=0), ((0, 0), (0, SEGMENT_ALIGN)))

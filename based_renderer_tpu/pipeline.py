@@ -189,6 +189,17 @@ class Pipeline:
     # scalar loop machinery is part of the dense-mesh floor); must
     # divide 128.
     raster_unroll: int = 1
+    # Sublane-parallel rasterization (ops/raster_pallas.py
+    # _raster_kernel_sublane): records are processed 8-at-a-time on the
+    # VPU sublane axis with vector coefficient loads (no scalar reads —
+    # the sequential kernels' per-record floor), and winner attributes
+    # are recovered by an exact one-hot matmul on the MXU.  ~6x the
+    # sequential kernel's record throughput; THE kernel for dense
+    # tiny-triangle meshes.  Same eligibility as raster_batch (depth
+    # test+write, ordered compare, no stencil) plus tile_w == 128 and no
+    # MSAA; silently falls back to the sequential kernel when the draw
+    # is ineligible.
+    raster_sublane: bool = False
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.

@@ -497,7 +497,7 @@ class Renderer:
                         msaa4=coverage_msaa,
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
-                        # Batched reduction only where its depth-mode
+                        # Batched/sublane reduction only where its depth-mode
                         # eligibility holds; silently fall back otherwise.
                         batch=pipe.raster_batch
                         if (
@@ -508,8 +508,18 @@ class Renderer:
                             and stencil_state is None
                             and not coverage_msaa
                             and not pipe.raster_two_pass
+                            and not pipe.raster_sublane
                         )
                         else 0,
+                        sublane=pipe.raster_sublane
+                        and pipe.depth.test
+                        and pipe.depth.write
+                        and pipe.depth.compare
+                        in ("less", "less_equal", "greater", "greater_equal")
+                        and stencil_state is None
+                        and not coverage_msaa
+                        and not pipe.raster_two_pass
+                        and tile_w_eff == 128,
                         unroll=pipe.raster_unroll,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU

@@ -255,3 +255,88 @@ def test_batched_rejects_ineligible_modes():
         rasterize_vis_pallas(
             ts, 96, 64, depth_compare="not_equal", interpret=True, batch=8
         )
+
+
+# ---------------------------------------------------------------------------
+# Sublane-parallel kernel (raster_sublane): bit-identity incl. tie semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compare", ["less", "less_equal", "greater", "greater_equal"])
+def test_sublane_matches_sequential(compare):
+    clip = random_clip(21, 40)
+    W, H = 96, 64
+    clear = 0.5 if compare.startswith("greater") else 1.0
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    kw = dict(tile_w=128, tile_h=8, depth_compare=compare, depth_clear=clear, interpret=True)
+    vs = rasterize_vis_pallas(ts, W, H, **kw)
+    vb = rasterize_vis_pallas(ts, W, H, sublane=True, **kw)
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vs.depth_q), np.asarray(vb.depth_q))
+    m = np.asarray(vs.tri_id) >= 0
+    for k in ("b0", "b1", "b2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(vs, k))[m], np.asarray(getattr(vb, k))[m], atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("compare", ["less", "less_equal", "greater", "greater_equal"])
+def test_sublane_equal_depth_ties(compare):
+    """Coplanar identical triangles: the winner is decided purely by the
+    tie-break (first for strict compares, last for *_equal)."""
+    tri = np.asarray(
+        [[[-0.5, -0.5, 0.3, 1], [0.5, -0.5, 0.3, 1], [0, 0.5, 0.3, 1]]], np.float32
+    )
+    clip = np.concatenate([tri] * 11)  # spans a group boundary (8)
+    W, H = 96, 64
+    clear = 0.0 if compare.startswith("greater") else 1.0
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    kw = dict(tile_w=128, tile_h=8, depth_compare=compare, depth_clear=clear, interpret=True)
+    vs = rasterize_vis_pallas(ts, W, H, **kw)
+    vb = rasterize_vis_pallas(ts, W, H, sublane=True, **kw)
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    win = np.unique(np.asarray(vb.tri_id)[np.asarray(vb.tri_id) >= 0])
+    assert win.size == 1
+    assert win[0] == (0 if compare in ("less", "greater") else 10)
+
+
+def test_sublane_init_chain_with_channels():
+    """Multi-draw chaining with varyings and a large id_offset (the f32
+    triangle-id column must round-trip exactly)."""
+    clip_a, clip_b = random_clip(22, 16), random_clip(23, 24)
+    rng = np.random.default_rng(24)
+    ch_a = rng.normal(size=(16, 3, 5)).astype(np.float32)
+    ch_b = rng.normal(size=(24, 3, 5)).astype(np.float32)
+    W, H = 96, 64
+    big = 1_000_000  # exercises f32 tid exactness far above small ids
+    ts_a = setup_triangles(jnp.asarray(clip_a), W, H)
+    ts_b = setup_triangles(jnp.asarray(clip_b), W, H)
+    kw = dict(tile_w=128, tile_h=8, interpret=True)
+    va, ia, wa = rasterize_vis_pallas(
+        ts_a, W, H, sublane=True, channels=jnp.asarray(ch_a), **kw
+    )
+    vb, ib, wb = rasterize_vis_pallas(
+        ts_b, W, H, sublane=True, channels=jnp.asarray(ch_b),
+        init=va, id_offset=big, **kw
+    )
+    sa, isa, _ = rasterize_vis_pallas(ts_a, W, H, channels=jnp.asarray(ch_a), **kw)
+    sb, isb, wsb = rasterize_vis_pallas(
+        ts_b, W, H, channels=jnp.asarray(ch_b), init=sa, id_offset=big, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(vb.tri_id), np.asarray(sb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vb.depth_q), np.asarray(sb.depth_q))
+    np.testing.assert_allclose(np.asarray(ib), np.asarray(isb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wb), np.asarray(wsb), atol=1e-6)
+
+
+def test_sublane_rejects_ineligible_modes():
+    clip = random_clip(25, 8)
+    ts = setup_triangles(jnp.asarray(clip), 96, 64)
+    with pytest.raises(ValueError):
+        rasterize_vis_pallas(
+            ts, 96, 64, depth_compare="not_equal", interpret=True, sublane=True
+        )
+    with pytest.raises(ValueError):
+        rasterize_vis_pallas(
+            ts, 96, 64, tile_w=64, tile_h=8, interpret=True, sublane=True
+        )

@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--two-pass", default="keep", choices=["keep", "both", "on", "off"])
     ap.add_argument("--batch", default="keep", help='"keep" or comma list of sizes (0=sequential)')
     ap.add_argument("--unroll", default="keep", help='"keep" or comma list of unroll factors')
+    ap.add_argument("--sublane", default="keep", choices=["keep", "both", "on", "off"])
     ap.add_argument("--n1", type=int, default=2)
     ap.add_argument("--n2", type=int, default=6)
     ap.add_argument("--size", default="1920x1080")
@@ -95,28 +96,39 @@ def main():
             twos = [args.two_pass == "on"]
         batches = [None] if args.batch == "keep" else [int(v) for v in args.batch.split(",")]
         unrolls = [None] if args.unroll == "keep" else [int(v) for v in args.unroll.split(",")]
+        if args.sublane == "both":
+            subls = [False, True]
+        elif args.sublane == "keep":
+            subls = [None]
+        else:
+            subls = [args.sublane == "on"]
         for sk in skips:
             for tp in twos:
                 for bt in batches:
                     for un in unrolls:
-                        patch = {"raster_tile": (tw, th)}
-                        if sk is not None:
-                            patch["raster_skip_losers"] = sk
-                        if tp is not None:
-                            patch["raster_two_pass"] = tp
-                        if bt is not None:
-                            patch["raster_batch"] = bt
-                        if un is not None:
-                            patch["raster_unroll"] = un
-                        t0 = time.time()
-                        dt, of = time_demo(args.demo, W, H, args.n1, args.n2, patch, msaa=args.msaa)
-                        print(
-                            f"{args.demo} {W}x{H} tile={tw}x{th} skip={sk} two_pass={tp} "
-                            f"batch={bt} unroll={un}: "
-                            f"{dt * 1e3:9.3f} ms/frame = {1 / dt:8.1f} fps  "
-                            f"overflow={of}  (wall {time.time() - t0:.0f}s)",
-                            flush=True,
-                        )
+                        for sl in subls:
+                            patch = {"raster_tile": (tw, th)}
+                            if sk is not None:
+                                patch["raster_skip_losers"] = sk
+                            if tp is not None:
+                                patch["raster_two_pass"] = tp
+                            if bt is not None:
+                                patch["raster_batch"] = bt
+                            if un is not None:
+                                patch["raster_unroll"] = un
+                            if sl is not None:
+                                patch["raster_sublane"] = sl
+                            t0 = time.time()
+                            dt, of = time_demo(
+                                args.demo, W, H, args.n1, args.n2, patch, msaa=args.msaa
+                            )
+                            print(
+                                f"{args.demo} {W}x{H} tile={tw}x{th} skip={sk} two_pass={tp} "
+                                f"batch={bt} unroll={un} sublane={sl}: "
+                                f"{dt * 1e3:9.3f} ms/frame = {1 / dt:8.1f} fps  "
+                                f"overflow={of}  (wall {time.time() - t0:.0f}s)",
+                                flush=True,
+                            )
 
 
 if __name__ == "__main__":
