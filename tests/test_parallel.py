@@ -210,3 +210,26 @@ def test_geometry_parallel_instanced_batched():
     np.testing.assert_allclose(
         sf.color_np(), np.moveaxis(np.asarray(color), 0, -1), atol=1e-5
     )
+
+
+def test_geometry_parallel_instanced_sublane():
+    """Geometry axis + instancing + the sublane-parallel kernel.
+
+    Shards must be 128 px wide for the sublane kernel to engage (the
+    renderer silently falls back to the sequential kernel otherwise), so
+    this test uses a 256-wide framebuffer over a 1x2 tile mesh.
+    """
+    cfg = brt.RendererConfig(width=256, height=32, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, inst = demos.instanced_demo(r, count=48)
+    pipe = dataclasses.replace(pipe, raster_sublane=True, raster_tile=(128, 8))
+    u = uniforms(0.3)
+    sf = r.render_frame(pipe, mesh, u, instances=inst)
+
+    tr = TiledRenderer(cfg, mesh_2d(1, 2, extra=2), geometry_axis="g")
+    color, depth_q, tri_id = tr.render(pipe, mesh, u, instances=inst)
+    np.testing.assert_array_equal(np.asarray(sf.tri_id), np.asarray(tri_id))
+    np.testing.assert_array_equal(np.asarray(sf.depth_q), np.asarray(depth_q))
+    np.testing.assert_allclose(
+        sf.color_np(), np.moveaxis(np.asarray(color), 0, -1), atol=1e-5
+    )
