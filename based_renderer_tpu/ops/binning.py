@@ -260,12 +260,17 @@ def bin_triangles(
     tri = jnp.repeat(jnp.arange(num_tris, dtype=jnp.int32), k, total_repeat_length=max_pairs)
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = pair_idx < total
-    # Pre-sort row gather: everything the pair->tile mapping needs.
+    # Pre-sort row gather: everything the pair->tile mapping needs.  The
+    # gathered block is transposed once so the per-column consumers read
+    # contiguous rows — column extraction from a (P, k) lane-tiled array
+    # reads nearly the whole tiled footprint per column (see the fused
+    # gather below).
     exp = jnp.stack([offsets[:-1], jnp.maximum(bw, 1), x0, y0], axis=1)[tri]
-    seq = pair_idx - exp[:, 0]
-    bw_t = exp[:, 1]
-    tile_y = exp[:, 3] + seq // bw_t
-    tile_x = exp[:, 2] + seq % bw_t
+    expT = jax.lax.optimization_barrier(exp.T)
+    seq = pair_idx - expT[0]
+    bw_t = expT[1]
+    tile_y = expT[3] + seq // bw_t
+    tile_x = expT[2] + seq % bw_t
     tile_id = jnp.where(in_range, tile_y * num_tx + tile_x, jnp.int32(num_tiles))
 
     # Stable sort by tile keeps pairs in draw order within each tile —
@@ -295,39 +300,61 @@ def bin_triangles(
     # ---- per-slot record assembly from the templates ---------------------
     ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
     # Post-sort row gather: ONE fused wide gather of the int template and
-    # the f32 template (riding as bitcast int32 bits — lossless).
+    # the f32 template (riding as bitcast int32 bits — lossless).  Row
+    # width is padded up to a multiple of 64: measured on v5e, row gathers
+    # of 32..48-column rows fall off a cliff (55-78 ms/1.5M rows) while
+    # 64- and 128-column rows take ~17 ms — the lowering switches
+    # strategy at 64 columns.
     fused = jnp.concatenate(
         [ti, jax.lax.bitcast_convert_type(tf, jnp.int32)], axis=1
     )
     n_ti = ti.shape[1]
-    fused_s = fused[t_slot]
-    ti_s = fused_s[:, :n_ti]
-    tf_s = jax.lax.bitcast_convert_type(fused_s[:, n_ti:], jnp.float32)
+    n_all = fused.shape[1]
+    pad_to = -(-n_all // 64) * 64
+    if pad_to != n_all:
+        fused = jnp.pad(fused, ((0, 0), (0, pad_to - n_all)))
+    # The operand barrier pins the gather at the padded width: without it
+    # XLA folds the pad into the gather and emits a 30-50-column row
+    # gather — exactly the pathological width range (measured 67 ms vs
+    # 20 ms for the barriered 64-wide gather at 1.5M rows).  The gathered
+    # block is then transposed ONCE to field-major (64, P): the assembly
+    # below reads ~30 individual columns, and each column extract from a
+    # lane-tiled (P, 64) array costs nearly a full-footprint pass
+    # (measured: the column reads were ~50 ms of the binner), while row
+    # reads of the transposed copy are contiguous.
+    fused = jax.lax.optimization_barrier(fused)
+    fused_sT = jax.lax.optimization_barrier(fused[t_slot].T)
+
+    def ti_col(j):
+        return fused_sT[j]
+
+    def tf_col(j):
+        return jax.lax.bitcast_convert_type(fused_sT[n_ti + j], jnp.float32)
 
     ox = s_tile_x * tile_w + origin_x  # tile-origin pixel (global coords)
     oy = s_tile_y * tile_h + origin_y
     ox16 = ox * jnp.int32(fp.SUBPIXEL_SCALE)
     oy16 = oy * jnp.int32(fp.SUBPIXEL_SCALE)
 
-    a_s = [ti_s[:, i] for i in range(3)]
-    b_s = [ti_s[:, 3 + i] for i in range(3)]
+    a_s = [ti_col(i) for i in range(3)]
+    b_s = [ti_col(3 + i) for i in range(3)]
     eb = []
     for i in range(3):
-        e64 = (ti_s[:, 6 + 2 * i], ti_s[:, 7 + 2 * i])
+        e64 = (ti_col(6 + 2 * i), ti_col(7 + 2 * i))
         stepped = fp.i64_add(
             fp.i64_add(e64, fp.i64_mul_i32(a_s[i], ox16)), fp.i64_mul_i32(b_s[i], oy16)
         )
         eb.append(fp.i64_clamp_to_i32(stepped, -fp.ANCHOR_CLAMP, fp.ANCHOR_CLAMP))
 
-    dzx = ti_s[:, 12]
-    dzy = ti_s[:, 13]
-    zshift = ti_s[:, 14]
-    tid = ti_s[:, 15]
-    zq0 = ti_s[:, 16]
-    x0f = ti_s[:, 17]
-    y0f = ti_s[:, 18]
-    gx = tf_s[:, 0]
-    gy = tf_s[:, 1]
+    dzx = ti_col(12)
+    dzy = ti_col(13)
+    zshift = ti_col(14)
+    tid = ti_col(15)
+    zq0 = ti_col(16)
+    x0f = ti_col(17)
+    y0f = ti_col(18)
+    gx = tf_col(0)
+    gy = tf_col(1)
     can_x = (ox // fp.DEPTH_TILE) * fp.DEPTH_TILE
     can_y = (oy // fp.DEPTH_TILE) * fp.DEPTH_TILE
     z_can = depth_tile_anchor(zq0, x0f, y0f, gx, gy, zshift, can_x, can_y)
@@ -360,9 +387,9 @@ def bin_triangles(
     nch = 0 if channels is None else channels.shape[-1]
     frec_cols = []
     for p in range(3 + nch):  # b0, b1, invw, channels...
-        p00 = tf_s[:, 2 + 3 * p]
-        pdx = tf_s[:, 3 + 3 * p]
-        pdy = tf_s[:, 4 + 3 * p]
+        p00 = tf_col(2 + 3 * p)
+        pdx = tf_col(3 + 3 * p)
+        pdy = tf_col(4 + 3 * p)
         frec_cols += [p00 + pdx * oxf + pdy * oyf, pdx, pdy]
     frec_cols.append(tid.astype(jnp.float32))  # ftid_col(nch)
     while len(frec_cols) < fw:
