@@ -99,6 +99,10 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         # budget so binner gather traffic tracks real work.
         near_clip=False,
         raster_pairs_factor=2.0,
+        # Record-dense scene: the sublane-parallel kernel (no per-record
+        # scalar reads) on short tiles.
+        raster_sublane=True,
+        raster_tile=(128, 8),
     )
     aspect = r.config.width / r.config.height
     extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
@@ -128,6 +132,10 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         # triangles are tiny: skip the clipper and budget ~1.5 pairs/tri.
         near_clip=False,
         raster_pairs_factor=1.5,
+        # 1M-record scenes are kernel- and binner-bound: sublane-parallel
+        # raster kernel on short tiles.
+        raster_sublane=True,
+        raster_tile=(128, 8),
     )
     aspect = r.config.width / r.config.height
 

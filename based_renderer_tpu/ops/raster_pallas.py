@@ -780,9 +780,9 @@ def _raster_kernel_sublane(
     tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
     chan_refs = outs[6:]
     scratch = rest[ninit + nout :]
-    ichunk, fchunk, tri, trf, zs, ws, wT, cacc = scratch[:8]
-    sems, fsems = scratch[8:]
-    fw = trf.shape[1]
+    ichunk, fchunk, tri, zs, ws, cacc = scratch[:6]
+    sems, fsems = scratch[6:]
+    fw = cacc.shape[0]
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -798,7 +798,7 @@ def _raster_kernel_sublane(
     else:
         zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
     ws[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
-    cacc[:] = jnp.zeros((tile_h, tile_w, fw), jnp.float32)
+    cacc[:] = jnp.zeros((fw, tile_h, tile_w), jnp.float32)
 
     xl = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
     subi = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -896,7 +896,6 @@ def _raster_kernel_sublane(
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
 
     # ---- pass 2: one-hot matmul attribute fetch ----------------------------
-    wT[:] = ws[:].T  # (tile_h, 128) -> (128, tile_h), once per tile
     win_max = jnp.max(ws[:])
 
     @pl.when(win_max >= 0)
@@ -905,7 +904,7 @@ def _raster_kernel_sublane(
 
     last_chunk = win_max // CHUNK  # -1 when no winners
 
-    riota = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    riota_sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     def fchunk_body(c, _):
         slot = c % 2
@@ -915,48 +914,51 @@ def _raster_kernel_sublane(
             get_fdma((c + 1) % 2, c + 1).start()
 
         get_fdma(slot, c).wait()
-        trf[:] = fchunk[slot].T  # (FW, 128) -> (128, FW)
         for y in range(tile_h):
-            local = wT[:, y : y + 1] - c * CHUNK  # (128, 1)
-            oh = (local == riota).astype(jnp.float32)  # (128 px, 128 rec)
-            # Winner rows accumulate their record's full coefficient row;
-            # pixels whose winner lies in another chunk contribute zero
-            # rows, so plain += is an exact scatter-free accumulation.
-            cacc[y] += jax.lax.dot_general(
-                oh,
-                trf[:],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            wrow = ws[y : y + 1, :]  # (1, 128) winner indices of this row
+            # Skip (row, chunk) pairs that cannot contain a winner — the
+            # matmul is the pass-2 cost and most rows resolve in few
+            # chunks.
+            whi = jnp.max(wrow)
+            wlo = jnp.min(jnp.where(wrow < 0, jnp.int32(2**30), wrow))
+
+            @pl.when((whi >= c * CHUNK) & (wlo < (c + 1) * CHUNK))
+            def _():
+                # ohT[record, pixel]: one-hot of this row's winners, built
+                # directly in record-major layout so the value matrix
+                # (fchunk, already (FW, records)) needs no transpose.
+                ohT = ((wrow - c * CHUNK) == riota_sub).astype(jnp.float32)
+                # Winner columns accumulate their record's full coefficient
+                # column; pixels whose winner lies in another chunk
+                # contribute zero columns, so plain += is an exact
+                # scatter-free accumulation (one-hot matmul under HIGHEST
+                # reconstructs f32 bit-exactly).
+                cacc[:, y, :] += jax.lax.dot_general(
+                    fchunk[slot],
+                    ohT,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
         return 0
 
     jax.lax.fori_loop(0, last_chunk + 1, fchunk_body, 0, unroll=False)
 
     # ---- finalize: evaluate winner planes, select vs init/background ------
-    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0).astype(jnp.float32)
-    plane_cols = [0, 3, 6] + [FRECORD_BASE + 3 * ci for ci in range(num_channels)]
-    colT = []  # per plane: list of (128, 1) row values
-    tidT = []
-    for y in range(tile_h):
-        C = cacc[y]  # (128, FW)
-        yf = jnp.float32(y)
-        for p, col in enumerate(plane_cols):
-            v = C[:, col : col + 1] + C[:, col + 1 : col + 2] * xs + C[:, col + 2 : col + 3] * yf
-            if y == 0:
-                colT.append([v])
-            else:
-                colT[p].append(v)
-        tidT.append(C[:, ftid : ftid + 1])
+    # Plane coefficients live field-major (FW, tile_h, tile_w), so each
+    # evaluation is a full-tile (tile_h, 128) VPU op.
+    xf = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1).astype(jnp.float32)
+    yf = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0).astype(jnp.float32)
 
-    def assemble(rows):  # tile_h x (128, 1) -> (tile_h, 128)
-        return jnp.concatenate(rows, axis=1).T
+    def plane_eval(col):
+        return cacc[col] + cacc[col + 1] * xf + cacc[col + 2] * yf
 
     covm = ws[:] >= 0
-    nb0 = assemble(colT[0])
-    nb1 = assemble(colT[1])
-    niw = assemble(colT[2])
-    tid = assemble(tidT).astype(jnp.int32)
+    nb0 = plane_eval(0)
+    nb1 = plane_eval(3)
+    niw = plane_eval(6)
+    tid = cacc[ftid].astype(jnp.int32)
 
     if has_init:
         i_id, _i_z, i_b0, i_b1, _i_b2 = init_refs
@@ -978,7 +980,7 @@ def _raster_kernel_sublane(
     b2_ref[:] = jnp.where(out_id >= 0, (1.0 - out_b0) - out_b1, 0.0)
     invw_ref[:] = jnp.where(covm, niw, 1.0)
     for ci, cr in enumerate(chan_refs):
-        cr[:] = jnp.where(covm, assemble(colT[3 + ci]), 0.0)
+        cr[:] = jnp.where(covm, plane_eval(FRECORD_BASE + 3 * ci), 0.0)
 
 
 def _raster_kernel_msaa4(
@@ -1512,18 +1514,18 @@ def rasterize_binned(
     nout = 6 + num_ch + (1 if use_stencil else 0)
     if sublane:
         # Chunks land in VMEM (they are relaid out, not scalar-read), plus
-        # one transposed copy of each, the (depth, winner-index) state, the
-        # transposed winner indices, and the one-hot coefficient accumulator.
+        # a transposed copy of the int chunk (pass 1's sublane coefficient
+        # loads; the float chunk is consumed untransposed by the pass-2
+        # matmul), the (depth, winner-index) state, and the field-major
+        # one-hot coefficient accumulator.
         rw_, fw_ = record_width(False), frecord_width(num_ch)
         scratch_shapes = [
             pltpu.VMEM((2, rw_, CHUNK), jnp.int32),
             pltpu.VMEM((2, fw_, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, rw_), jnp.int32),
-            pltpu.VMEM((CHUNK, fw_), jnp.float32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # zs
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # ws
-            pltpu.VMEM((tile_w, tile_h), jnp.int32),  # wT
-            pltpu.VMEM((tile_h, tile_w, fw_), jnp.float32),  # cacc
+            pltpu.VMEM((fw_, tile_h, tile_w), jnp.float32),  # cacc (field-major)
         ]
     else:
         # Two-pass variants carry a winner-index plane; the single-pass
