@@ -93,6 +93,22 @@ def check_bit_identity():
     print(f"batched mosaic: {b_ok}", flush=True)
     ok &= b_ok
 
+    # Sublane-parallel kernel under compiled Mosaic (incl. the one-hot
+    # HIGHEST-precision attribute matmul and the f32 triangle-id column).
+    vl = rasterize_vis_pallas(ts2, W, H, tile_h=8, sublane=True)
+    s_seq = rasterize_vis_pallas(ts2, W, H, tile_h=8)
+    l_ok = np.array_equal(np.asarray(vl.tri_id), ob["tri_id"]) and np.array_equal(
+        np.asarray(vl.depth_q), ob["depth_q"]
+    )
+    for k in ("b0", "b1", "b2"):
+        l_ok &= bool(
+            np.allclose(
+                np.asarray(getattr(vl, k)), np.asarray(getattr(s_seq, k)), atol=1e-6
+            )
+        )
+    print(f"sublane mosaic: {l_ok}", flush=True)
+    ok &= l_ok
+
     print("TPU BIT-IDENTITY:", "PASS" if ok else "FAIL", flush=True)
     return ok
 
