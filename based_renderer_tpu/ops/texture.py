@@ -127,7 +127,7 @@ def _sample_packed_level(tex, uv, lvl):
     tex: scene.Texture; uv: (..., 2); lvl: (...) int32 in [0, L).
     One flat gather total.
     """
-    wrap, c, sizes = tex.meta
+    wrap, c, sizes = tex.meta[:3]
     offs = [0]
     for h, w in sizes:
         offs.append(offs[-1] + h * w)
@@ -143,7 +143,14 @@ def _sample_packed_level(tex, uv, lvl):
     ay = (fy - y0.astype(jnp.float32))[..., None]
     wi = w_v.astype(jnp.int32)
     hi = h_v.astype(jnp.int32)
-    if wrap == "repeat":
+    pow2 = all(h & (h - 1) == 0 and w & (w - 1) == 0 for h, w in sizes)
+    if wrap == "repeat" and pow2:
+        # Integer mod with a per-pixel RUNTIME divisor has no strength
+        # reduction on TPU and dominates the tap; all mip extents are
+        # powers of two, so two's-complement AND is the exact mod.
+        x0w = x0 & (wi - 1)
+        y0w = y0 & (hi - 1)
+    elif wrap == "repeat":
         x0w = jnp.mod(x0, wi)
         y0w = jnp.mod(y0, hi)
     else:  # clamp
@@ -183,13 +190,21 @@ def lod_from_uv(uv, tex_h: int, tex_w: int):
 
 
 def sample_texture(tex, uv, lod=None):
-    """Sample a scene.Texture: bilinear (single level) or trilinear
-    (mipmapped + lod given).  Accepts raw arrays for back-compat."""
+    """Sample a scene.Texture honoring its sampler state: bilinear
+    (single level), nearest-mip (one tap at the rounded LOD — the
+    default: a full-screen tap is one flat gather and "linear" doubles
+    it), or trilinear.  Accepts raw arrays for back-compat."""
     if not hasattr(tex, "meta"):  # raw (H, W, C) array
         return sample_bilinear(tex, uv)
     num_levels = len(tex.meta[2])
     if num_levels == 1 or lod is None:
         return _sample_packed_level(tex, uv, jnp.zeros(uv.shape[:-1], jnp.int32))
+    mip_filter = tex.meta[3] if len(tex.meta) > 3 else "nearest"
+    if mip_filter == "nearest":
+        lvl = jnp.clip(
+            jnp.round(lod).astype(jnp.int32), 0, num_levels - 1
+        )
+        return _sample_packed_level(tex, uv, lvl)
     return sample_trilinear(tex, uv, lod)
 
 

@@ -67,7 +67,7 @@ class Texture:
 
     data: jnp.ndarray  # (H, W, C) float32 level 0
     packed: jnp.ndarray  # (sum_l h_l*w_l, 4*C) float32 patch rows
-    meta: tuple  # (wrap: str, channels: int, sizes: ((h, w), ...))
+    meta: tuple  # (wrap: str, channels: int, sizes: ((h, w), ...), mip_filter: str)
 
     @property
     def shape(self):
@@ -76,6 +76,10 @@ class Texture:
     @property
     def wrap(self) -> str:
         return self.meta[0]
+
+    @property
+    def mip_filter(self) -> str:
+        return self.meta[3] if len(self.meta) > 3 else "nearest"
 
     @property
     def num_levels(self) -> int:
@@ -135,7 +139,13 @@ def _patch_rows(level: np.ndarray, wrap: str) -> np.ndarray:
     return np.concatenate([level, tx1, ty1, txy], axis=-1).reshape(h * w, 4 * c)
 
 
-def upload_texture(image, device=None, wrap: str = "repeat", mipmaps: bool = False) -> Texture:
+def upload_texture(
+    image,
+    device=None,
+    wrap: str = "repeat",
+    mipmaps: bool = False,
+    mip_filter: str = "nearest",
+) -> Texture:
     """Upload an image as a float32 texture (uint8 input is normalized).
 
     Args:
@@ -145,7 +155,13 @@ def upload_texture(image, device=None, wrap: str = "repeat", mipmaps: bool = Fal
         power-of-two dimensions (level extents and offsets are then pure
         shift arithmetic at sample time — no per-pixel table lookups,
         which are pathologically slow on TPU).
+      mip_filter: "nearest" | "linear" — VK_SAMPLER_MIPMAP_MODE analog.
+        A full-screen bilinear tap is one flat gather (~10 ms at 1080p —
+        the TPU gather floor), and "linear" (trilinear) doubles that, so
+        the default is the single-tap rounded-LOD filter.
     """
+    if mip_filter not in ("nearest", "linear"):
+        raise ValueError(f"bad mip_filter {mip_filter!r}")
     img = np.asarray(image)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
@@ -170,7 +186,12 @@ def upload_texture(image, device=None, wrap: str = "repeat", mipmaps: bool = Fal
             levels.append(cur.astype(np.float32))
 
     packed = np.concatenate([_patch_rows(lv, wrap) for lv in levels], axis=0)
-    meta = (wrap, levels[0].shape[-1], tuple((lv.shape[0], lv.shape[1]) for lv in levels))
+    meta = (
+        wrap,
+        levels[0].shape[-1],
+        tuple((lv.shape[0], lv.shape[1]) for lv in levels),
+        mip_filter,
+    )
     data = jnp.asarray(img, jnp.float32)
     packed_j = jnp.asarray(packed, jnp.float32)
     if device is not None:

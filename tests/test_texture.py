@@ -86,7 +86,7 @@ def test_mip_chain_shapes_and_means():
     tex = upload_texture(img, mipmaps=True)
     assert tex.num_levels == 7  # 64 -> 1
     # Every level preserves the mean (box filter).
-    wrap, c, sizes = tex.meta
+    wrap, c, sizes = tex.meta[:3]
     assert sizes[0] == (64, 64) and sizes[-1] == (1, 1)
 
 
@@ -133,3 +133,45 @@ def test_renderer_textured_cube_mipmapped():
     f = r.render_frame(pipe, mesh, uniforms(0.5))
     c = f.color_np()
     assert np.isfinite(c).all() and (np.asarray(f.tri_id) >= 0).any()
+
+
+def test_mip_filter_nearest_single_tap():
+    """Default sampler state is nearest-mip: a high LOD taps the deepest
+    level (the texture's mean), a ~0 LOD taps level 0."""
+    import jax.numpy as jnp
+    from based_renderer_tpu.ops import texture as tx
+    from based_renderer_tpu.scene import upload_texture
+
+    img = geometry.checkerboard_texture(64)
+    tex = upload_texture(img, mipmaps=True)  # mip_filter defaults nearest
+    assert tex.mip_filter == "nearest"
+    uv = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (8, 8, 2)), jnp.float32)
+    deep = np.asarray(tx.sample_texture(tex, uv, lod=jnp.full((8, 8), 10.0)))
+    np.testing.assert_allclose(deep, np.asarray(img).mean((0, 1)) * np.ones_like(deep), atol=1e-3)
+    near = np.asarray(tx.sample_texture(tex, uv, lod=jnp.zeros((8, 8))))
+    direct = np.asarray(tx.sample_bilinear(jnp.asarray(np.asarray(img, np.float32)), uv))
+    np.testing.assert_allclose(near, direct, atol=1e-5)
+
+
+def test_mip_filter_linear_opt_in():
+    import jax.numpy as jnp
+    from based_renderer_tpu.ops import texture as tx
+    from based_renderer_tpu.scene import upload_texture
+
+    img = geometry.checkerboard_texture(32)
+    tex = upload_texture(img, mipmaps=True, mip_filter="linear")
+    assert tex.mip_filter == "linear"
+    uv = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.9, (4, 4, 2)), jnp.float32)
+    lo = np.asarray(tx.sample_texture(tex, uv, lod=jnp.zeros((4, 4))))
+    hi = np.asarray(tx.sample_texture(tex, uv, lod=jnp.full((4, 4), 10.0)))
+    mid = np.asarray(tx.sample_texture(tex, uv, lod=jnp.full((4, 4), 0.5)))
+    np.testing.assert_allclose(mid, 0.5 * lo + 0.5 * hi_level1(tex, uv), atol=1e-5)
+
+
+def hi_level1(tex, uv):
+    import jax.numpy as jnp
+    from based_renderer_tpu.ops import texture as tx
+
+    return np.asarray(
+        tx._sample_packed_level(tex, uv, jnp.ones(uv.shape[:-1], jnp.int32))
+    )
