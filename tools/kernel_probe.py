@@ -38,17 +38,23 @@ def time_demo(name, width, height, n1, n2, pipe_patch, msaa=1, **dkw):
         return {k: v for k, v in u.items() if k not in static}
 
     def run(n):
-        if strip(u0):
-            useq = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[strip(uniforms(0.016 * i)) for i in range(n)]
+        def make_useq(phase):
+            if not strip(u0):
+                return {}
+            return jax.block_until_ready(
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[strip(uniforms(phase + 0.016 * i)) for i in range(n)],
+                )
             )
-            useq = jax.block_until_ready(useq)
-        else:
-            useq = {}
+
+        # One sequence per dispatch: the tunnel elides repeated identical
+        # dispatches, so reusing inputs under-reports.
         kw = dict(instances=inst, num_frames=n, static_uniforms=static)
-        np.asarray(r.render_sequence(pipe, mesh, useq, **kw))
+        np.asarray(r.render_sequence(pipe, mesh, make_useq(0.9), **kw))
         best = 1e9
-        for _ in range(2):
+        for k in range(2):
+            useq = make_useq(1e-3 * (k + 1))
             t0 = time.perf_counter()
             np.asarray(r.render_sequence(pipe, mesh, useq, **kw))
             best = min(best, time.perf_counter() - t0)
