@@ -340,3 +340,41 @@ def test_sublane_rejects_ineligible_modes():
         rasterize_vis_pallas(
             ts, 96, 64, tile_w=64, tile_h=8, interpret=True, sublane=True
         )
+
+
+def test_sublane_scissor_and_no_depth_clip():
+    clip = random_clip(26, 24)
+    W, H = 128, 64
+    sc = (16, 8, 112, 56)
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    for kw in (dict(scissor=sc), dict(depth_clip=False), dict(scissor=sc, depth_clip=False)):
+        vs = rasterize_vis_pallas(ts, W, H, tile_w=128, tile_h=8, interpret=True, **kw)
+        vb = rasterize_vis_pallas(
+            ts, W, H, tile_w=128, tile_h=8, interpret=True, sublane=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+        np.testing.assert_array_equal(np.asarray(vs.depth_q), np.asarray(vb.depth_q))
+
+
+def test_sublane_empty_and_offscreen():
+    W, H = 128, 32
+    empty = np.zeros((0, 3, 4), np.float32)
+    ts = setup_triangles(jnp.asarray(empty), W, H)
+    v = rasterize_vis_pallas(ts, W, H, tile_w=128, tile_h=8, interpret=True, sublane=True)
+    assert (np.asarray(v.tri_id) == -1).all()
+    off = np.asarray(
+        [[[5.0, 5.0, 0.5, 1.0], [6.0, 5.0, 0.5, 1.0], [5.0, 6.0, 0.5, 1.0]]], np.float32
+    )
+    ts2 = setup_triangles(jnp.asarray(off), W, H)
+    v2 = rasterize_vis_pallas(ts2, W, H, tile_w=128, tile_h=8, interpret=True, sublane=True)
+    assert (np.asarray(v2.tri_id) == -1).all()
+
+
+def test_sublane_overflow_flag():
+    clip = random_clip(27, 64)
+    ts = setup_triangles(jnp.asarray(clip), 128, 64)
+    out, of = rasterize_vis_pallas(
+        ts, 128, 64, tile_w=128, tile_h=8, interpret=True, sublane=True,
+        max_pairs=128, return_overflow=True,
+    )
+    assert bool(of)  # 64 spanning tris overflow a 128-pair budget
