@@ -221,3 +221,49 @@ def sample_trilinear(tex, uv, lod):
     s0 = _sample_packed_level(tex, uv, l0)
     s1 = _sample_packed_level(tex, uv, l1)
     return s0 * (1.0 - frac) + s1 * frac
+
+
+def sample_anisotropic(tex, uv, max_aniso: int = 4):
+    """Anisotropic filtering (VkSamplerCreateInfo.maxAnisotropy analog).
+
+    uv must be a full (H, W, 2) screen-space field (the footprint axes
+    come from its finite differences, like lod_from_uv).  Takes
+    ``max_aniso`` bilinear taps spaced along the major footprint axis at
+    the LOD of the *minor* axis, box-averaged — the standard software
+    approximation of EWA.  Cost is max_aniso flat gathers (each ~10 ms
+    for a full 1080p field on v5e), so this is an opt-in quality tier;
+    mipmapped `scene.Texture` required.
+
+    max_aniso=1 degenerates to a single nearest-mip tap.
+    """
+    if max_aniso < 1:
+        raise ValueError("max_aniso must be >= 1")
+    num_levels = len(tex.meta[2])
+    th, tw = tex.meta[2][0]
+    scale = jnp.asarray([tw, th], jnp.float32)
+    du_dx = jnp.diff(uv, axis=1, append=uv[:, -1:]) * scale
+    du_dy = jnp.diff(uv, axis=0, append=uv[-1:]) * scale
+    lx = jnp.sqrt(jnp.sum(du_dx * du_dx, axis=-1))
+    ly = jnp.sqrt(jnp.sum(du_dy * du_dy, axis=-1))
+    major_is_x = lx >= ly
+    rho_maj = jnp.maximum(jnp.maximum(lx, ly), 1e-12)
+    rho_min = jnp.maximum(jnp.minimum(lx, ly), 1e-12)
+    # Number of taps the footprint wants, capped by the sampler state;
+    # the LOD comes from the footprint divided across the taps.
+    n = jnp.clip(jnp.ceil(rho_maj / rho_min), 1.0, float(max_aniso))
+    lod = jnp.log2(jnp.maximum(rho_maj / n, 1e-12))
+    lvl = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, num_levels - 1)
+    # Major-axis step in uv units.
+    axis = jnp.where(major_is_x[..., None], du_dx, du_dy) / scale
+    acc = None
+    wsum = None
+    for i in range(max_aniso):
+        # Tap positions (i + 0.5)/n - 0.5 along the axis; taps beyond the
+        # per-pixel count fold onto the last valid position with zero
+        # weight (static unroll, per-pixel n).
+        t = (jnp.float32(i) + 0.5) / n - 0.5
+        w = (jnp.float32(i) < n).astype(jnp.float32)
+        s = _sample_packed_level(tex, uv + (t * w)[..., None] * axis, lvl)
+        acc = s * w[..., None] if acc is None else acc + s * w[..., None]
+        wsum = w if wsum is None else wsum + w
+    return acc / wsum[..., None]

@@ -22,6 +22,11 @@ from based_renderer_tpu.parallel import TiledRenderer
 
 W, H = 96, 64
 
+# Every test here jit-compiles an 8-device shard_map frame program on the
+# 1-core CI host — minutes each.  The smoke tier skips them:
+#     python -m pytest tests/ -q -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def mesh_2d(ny, nx, extra=None):
     devs = np.array(jax.devices()[: ny * nx * (extra or 1)])

@@ -175,3 +175,47 @@ def hi_level1(tex, uv):
     return np.asarray(
         tx._sample_packed_level(tex, uv, jnp.ones(uv.shape[:-1], jnp.int32))
     )
+
+
+def test_anisotropic_degenerate_single_tap():
+    """max_aniso=1 equals the nearest-mip tap at the minor-axis LOD for an
+    isotropic footprint."""
+    from based_renderer_tpu.scene import upload_texture
+    from based_renderer_tpu.ops import texture as tx
+
+    img = geometry.checkerboard_texture(64)
+    tex = upload_texture(img, mipmaps=True)
+    uv = jnp.asarray(_uv_grid(32, 32))  # isotropic 2x minification
+    a1 = np.asarray(tx.sample_anisotropic(tex, uv, max_aniso=1))
+    lod = tx.lod_from_uv(uv, 64, 64)
+    ref = np.asarray(tx.sample_texture(tex, uv, lod))
+    # Same level selection up to the lod formula's metric (max-abs vs L2):
+    # compare against a direct level tap at the rounded L2 lod.
+    lvl = jnp.clip(jnp.round(jnp.log2(jnp.maximum(64.0 / 32.0, 1e-12))).astype(jnp.int32), 0, 6)
+    direct = np.asarray(tx._sample_packed_level(tex, uv, jnp.full(uv.shape[:-1], lvl)))
+    np.testing.assert_allclose(a1, direct, atol=1e-6)
+    assert ref.shape == a1.shape
+
+
+def test_anisotropic_reduces_streak_aliasing():
+    """A footprint stretched 8x in u only: anisotropic taps keep the
+    v detail (std between plain-mip and full-res) while plain mip at the
+    major-axis LOD over-blurs.  Sanity: output finite and bounded."""
+    from based_renderer_tpu.scene import upload_texture
+    from based_renderer_tpu.ops import texture as tx
+
+    img = geometry.checkerboard_texture(256)
+    tex = upload_texture(img, mipmaps=True)
+    v, u = np.mgrid[0:64, 0:64].astype(np.float32)
+    uv_np = np.stack([(u + 0.5) / 64 * 8.0, (v + 0.5) / 64 * 0.9], axis=-1)
+    uv = jnp.asarray(uv_np)
+    aniso = np.asarray(tx.sample_anisotropic(tex, uv, max_aniso=8))
+    lod = tx.lod_from_uv(uv, 256, 256)
+    mip = np.asarray(tx.sample_texture(tex, uv, lod))
+    assert np.isfinite(aniso).all()
+    # The anisotropic result preserves more contrast than the isotropic
+    # mip tap (which must blur to the major axis) while staying less
+    # aliased than full-res bilinear.
+    bil = np.asarray(tx.sample_bilinear(jnp.asarray(np.asarray(img, np.float32)), uv))
+    assert aniso[..., 0].std() >= mip[..., 0].std() * 0.9
+    assert aniso[..., 0].std() <= bil[..., 0].std()
