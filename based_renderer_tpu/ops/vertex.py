@@ -21,10 +21,14 @@ def expand_instances(mesh: Mesh, instances: dict | None):
 
     instances: dict of (I, ...) arrays; trailing dims are flattened, so a
     (I, 4, 4) transform becomes an (I*N, 16) attribute the shader reshapes.
-    Returns (attrs, tri_idx): merged attribute dict and (I*T, 3) indices.
+    Returns (attrs, tri_idx): merged attribute dict and (I*T, 3) indices —
+    tri_idx is None for corner-sequential meshes (upload_mesh de-indexes
+    at upload, so this is the normal case: the triangle gather is then a
+    free reshape instead of a 3T-row device gather).
     """
     attrs = dict(mesh.attributes)
-    tri_idx = mesh.triangle_indices()
+    sequential = mesh.indices is None
+    tri_idx = None if sequential else mesh.triangle_indices()
     if not instances:
         return attrs, tri_idx
     num_inst = next(iter(instances.values())).shape[0]
@@ -33,8 +37,9 @@ def expand_instances(mesh: Mesh, instances: dict | None):
     for k, v in instances.items():
         flat = jnp.asarray(v, jnp.float32).reshape(v.shape[0], -1)
         out[k] = jnp.repeat(flat, n, axis=0, total_repeat_length=num_inst * n)
-    offsets = (jnp.arange(num_inst, dtype=jnp.int32) * n)[:, None, None]
-    tri_idx = (tri_idx[None, :, :] + offsets).reshape(-1, 3)
+    if not sequential:
+        offsets = (jnp.arange(num_inst, dtype=jnp.int32) * n)[:, None, None]
+        tri_idx = (tri_idx[None, :, :] + offsets).reshape(-1, 3)
     return out, tri_idx
 
 
@@ -49,16 +54,20 @@ def apply_instance_transform(attrs: dict, position: jnp.ndarray | None = None):
     return jnp.einsum("vij,vj->vi", m, p)
 
 
-def gather_triangles(clip: jnp.ndarray, varyings: dict, tri_idx: jnp.ndarray):
+def gather_triangles(clip: jnp.ndarray, varyings: dict, tri_idx):
     """Vertex-shader outputs -> per-triangle arrays for setup/raster.
 
     Returns clip_tri (T, 3, 4) and varyings_tri dict[str, (T, 3, C)].
 
-    All outputs come from ONE fused row gather: a separate gather per
-    varying costs ~10 ms per array at 1M indexed triangles on TPU
-    (ops/binning.py gather discipline), while one wider row gather costs
-    roughly the same as the narrowest.
+    tri_idx None = corner-sequential mesh (the upload_mesh default): the
+    "gather" is a free reshape.  Otherwise ONE fused row gather: a
+    separate gather per varying costs ~10 ms per array at 1M indexed
+    triangles on TPU (ops/binning.py gather discipline), while one wider
+    row gather costs roughly the same as the narrowest.
     """
+    if tri_idx is None:
+        clip_tri = clip.reshape(-1, 3, clip.shape[-1])
+        return clip_tri, {k: v.reshape(-1, 3, v.shape[-1]) for k, v in varyings.items()}
     keys = sorted(varyings)
     parts = [clip] + [varyings[k] for k in keys]
     widths = [p.shape[-1] for p in parts]

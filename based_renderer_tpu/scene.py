@@ -101,12 +101,32 @@ jax.tree_util.register_pytree_node(Texture, _texture_flatten, _texture_unflatten
 def upload_mesh(positions, indices=None, device=None, **attrs) -> Mesh:
     """Upload per-vertex data to the device.
 
+    Indexed meshes are DE-INDEXED once here (host side): on TPU a
+    per-frame 3T-row corner gather costs ~15-30 ms at 1M triangles while
+    the duplicated vertex math it saves is sub-millisecond MXU work, so
+    the corner-sequential layout wins every frame after the first.  The
+    triangle order (and so draw-order depth ties and tri_ids) is
+    unchanged.
+
     Args:
       positions: (N, 2|3|4) float array.
-      indices: optional (T, 3) int triangle list.
+      indices: optional (T, 3) int triangle list (expanded at upload).
       **attrs: additional (N, C) per-vertex attributes (color, uv, normal...).
     """
-    a = {"position": jnp.asarray(np.asarray(positions), jnp.float32)}
+    pos = np.asarray(positions)
+    n = pos.shape[0]
+    if indices is not None:
+        idx = np.asarray(indices, np.int64)
+        if idx.ndim != 2 or idx.shape[1] != 3:
+            raise ValueError(f"indices must be (T, 3), got {idx.shape}")
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise ValueError(
+                f"index out of bounds: [{idx.min()}, {idx.max()}] vs {n} vertices"
+            )
+        flat = idx.reshape(-1)
+        pos = pos[flat]
+        attrs = {k: np.asarray(v)[flat] for k, v in attrs.items()}
+    a = {"position": jnp.asarray(pos, jnp.float32)}
     for k, v in attrs.items():
         v = jnp.asarray(np.asarray(v), jnp.float32)
         if v.ndim == 1:
@@ -116,13 +136,11 @@ def upload_mesh(positions, indices=None, device=None, **attrs) -> Mesh:
                 f"attribute {k!r} has {v.shape[0]} rows, expected {a['position'].shape[0]}"
             )
         a[k] = v
-    idx = None if indices is None else jnp.asarray(np.asarray(indices), jnp.int32)
     if device is not None:
         a = {k: jax.device_put(v, device) for k, v in a.items()}
-        idx = None if idx is None else jax.device_put(idx, device)
-    if idx is None and a["position"].shape[0] % 3 != 0:
+    if a["position"].shape[0] % 3 != 0:
         raise ValueError("non-indexed mesh needs a multiple-of-3 vertex count")
-    return Mesh(attributes=a, indices=idx)
+    return Mesh(attributes=a, indices=None)
 
 
 def _patch_rows(level: np.ndarray, wrap: str) -> np.ndarray:

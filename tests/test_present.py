@@ -153,8 +153,17 @@ def test_debug_draw_validation():
 
     r = brt.Renderer(brt.RendererConfig(width=32, height=32, debug=True))
     data = geometry.cube_mesh_data()
-    # Out-of-bounds index
-    mesh = r.upload_mesh(data["positions"][:30], indices=np.asarray([[0, 1, 99]]))
+    # Out-of-bounds index: caught at upload (meshes de-index there)...
+    with pytest.raises(ValueError, match="out of bounds"):
+        r.upload_mesh(data["positions"][:30], indices=np.asarray([[0, 1, 99]]))
+    # ...and at draw time for directly-constructed indexed meshes.
+    from based_renderer_tpu.scene import Mesh
+    import jax.numpy as jnp
+
+    mesh = Mesh(
+        attributes={"position": jnp.asarray(data["positions"][:30], jnp.float32)},
+        indices=jnp.asarray([[0, 1, 99]], jnp.int32),
+    )
     pipe = brt.Pipeline(shader="flat_mvp")
     r.begin_frame()
     with pytest.raises(DrawError, match="out of bounds"):

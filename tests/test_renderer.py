@@ -212,3 +212,30 @@ def test_scissor_rect():
         a = f.color_np()[rect[1] : rect[3], rect[0] : rect[2]]
         b = f0.color_np()[rect[1] : rect[3], rect[0] : rect[2]]
         np.testing.assert_array_equal(a, b)
+
+
+def test_indexed_upload_deindexes_equivalently():
+    """upload_mesh(indices=...) de-indexes at upload; the frame must be
+    identical to uploading the pre-expanded corners (triangle order, ids,
+    depth, color)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import geometry
+
+    data = geometry.procedural_mesh_data(600)
+    pos = np.asarray(data["positions"]); nrm = np.asarray(data["normal"])
+    idx = np.asarray(data["indices"]).reshape(-1, 3)
+    r = brt.Renderer(brt.RendererConfig(width=96, height=64, raster_backend="pallas"))
+    m_idx = r.upload_mesh(pos, indices=idx, normal=nrm)
+    assert m_idx.indices is None  # de-indexed at upload
+    flat = idx.reshape(-1)
+    m_seq = r.upload_mesh(pos[flat], normal=nrm[flat])
+    from based_renderer_tpu.models import demos
+    pipe, _, uniforms, _ = demos.big_mesh_demo(r, triangles=600)
+    u = uniforms(0.4)
+    fa = r.render_frame(pipe, m_idx, u)
+    fb = r.render_frame(pipe, m_seq, u)
+    np.testing.assert_array_equal(np.asarray(fa.tri_id), np.asarray(fb.tri_id))
+    np.testing.assert_array_equal(np.asarray(fa.depth_q), np.asarray(fb.depth_q))
+    np.testing.assert_array_equal(fa.color_np(), fb.color_np())
