@@ -257,16 +257,28 @@ def bin_triangles(
     # single-column gathers.  The tile sort carries the triangle index as
     # a sort payload (lax.sort, ~3.5 ms) instead of argsort + three
     # one-column permutation gathers (~30 ms).
-    tri = jnp.repeat(jnp.arange(num_tris, dtype=jnp.int32), k, total_repeat_length=max_pairs)
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
     in_range = pair_idx < total
-    # Pre-sort row gather: everything the pair->tile mapping needs.  The
-    # gathered block is transposed once so the per-column consumers read
-    # contiguous rows — column extraction from a (P, k) lane-tiled array
-    # reads nearly the whole tiled footprint per column (see the fused
-    # gather below).
-    exp = jnp.stack([offsets[:-1], jnp.maximum(bw, 1), x0, y0], axis=1)[tri]
+    # Pair expansion: ONE row-repeat of a 5-column table carrying both
+    # the triangle index and everything the pair->tile mapping needs —
+    # measured 2x cheaper than a 1-column repeat plus a separate row
+    # gather (13 vs 25 ms at 1.5M pairs).  The repeated block is
+    # transposed once so the per-column consumers read contiguous rows —
+    # column extraction from a (P, k) lane-tiled array reads nearly the
+    # whole tiled footprint per column (see the fused gather below).
+    exp_table = jnp.stack(
+        [
+            offsets[:-1],
+            jnp.maximum(bw, 1),
+            x0,
+            y0,
+            jnp.arange(num_tris, dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+    exp = jnp.repeat(exp_table, k, axis=0, total_repeat_length=max_pairs)
     expT = jax.lax.optimization_barrier(exp.T)
+    tri = expT[4]
     seq = pair_idx - expT[0]
     bw_t = expT[1]
     tile_y = expT[3] + seq // bw_t

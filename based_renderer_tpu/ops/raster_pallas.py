@@ -854,21 +854,27 @@ def _raster_kernel_sublane(
             axl1 = f(4) * xl
             axl2 = f(5) * xl
             dzxl = f(10) * xl
-            ay0, ay1, ay2, dzy = f(6), f(7), f(8), f(11)
+            # Records outside the live window get the same impossible-edge
+            # treatment the binner gives invalid slots (very negative e0,
+            # zero step): one select per group instead of a mask per row.
+            ay0 = jnp.where(inr, f(6), 0)
+            ay1, ay2, dzy = f(7), f(8), f(11)
             zsh = f(12)
             hi_clamp = jnp.right_shift(jnp.int32(1 << 29), zsh) + jnp.int32(1)
-            e0, e1, e2, zy = f(0), f(1), f(2), f(9)
+            e0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30)))
+            e1, e2, zy = f(1), f(2), f(9)
             z_rows = []
             i_rows = []
             for y in range(tile_h):
-                covered = ((e0 + axl0) >= 0) & ((e1 + axl1) >= 0) & ((e2 + axl2) >= 0)
+                # all-non-negative == the OR of the three has a clear sign
+                # bit (exactly the 3-compare AND, two ops cheaper).
+                covered = ((e0 + axl0) | (e1 + axl1) | (e2 + axl2)) >= 0
                 z = (
                     jnp.left_shift(jnp.clip(zy + dzxl, -hi_clamp, hi_clamp), zsh)
                     + jnp.int32(1 << 29)
                 )
                 if depth_clip:
                     covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
-                covered = covered & inr
                 if scissor is not None:
                     y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
                     covered = covered & xmask & y_ok
