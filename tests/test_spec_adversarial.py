@@ -41,11 +41,17 @@ def assert_all_paths_identical(clip, depth_compare="less"):
     ts = setup_triangles(jnp.asarray(clip), W, H)
     vx = rasterize_vis(ts, W, H, depth_compare=depth_compare)
     vp = rasterize_vis_pallas(ts, W, H, depth_compare=depth_compare, interpret=True)
+    vl = rasterize_vis_pallas(
+        ts, W, H, depth_compare=depth_compare, interpret=True,
+        tile_w=128, tile_h=8, sublane=True,
+    )
     ora = oracle.rasterize(clip, W, H, depth_compare=depth_compare)
     np.testing.assert_array_equal(np.asarray(vx.tri_id), ora["tri_id"])
     np.testing.assert_array_equal(np.asarray(vx.depth_q), ora["depth_q"])
     np.testing.assert_array_equal(np.asarray(vp.tri_id), ora["tri_id"])
     np.testing.assert_array_equal(np.asarray(vp.depth_q), ora["depth_q"])
+    np.testing.assert_array_equal(np.asarray(vl.tri_id), ora["tri_id"])
+    np.testing.assert_array_equal(np.asarray(vl.depth_q), ora["depth_q"])
     return ora
 
 
