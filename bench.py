@@ -67,11 +67,11 @@ def main():
             pass
 
     width, height = 1920, 1080
-    # The tunnel's dispatch overhead jitters by ~+-10 ms, so the
-    # differenced compute (n_big - n_small frames) must dominate it:
-    # 112 cube frames ~ 55-85 ms.
-    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    n_small = max(4, n_big // 8)
+    # The tunnel's dispatch overhead jitters by tens of ms run to run, so
+    # the differenced compute (n_big - n_small frames) must DOMINATE it:
+    # 248 cube frames ~ 140 ms vs ~+-15 ms of jitter.
+    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_small = max(4, n_big // 32)
     r = brt.Renderer(brt.RendererConfig(width=width, height=height))
     pipe, mesh, uniforms, inst = demos.cube_demo(r)
 
