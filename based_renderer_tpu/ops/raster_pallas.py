@@ -190,7 +190,9 @@ def _raster_kernel(
             z_u = f(9) + f(10) * ix + f(11) * iy
             hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
             z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
-            if depth_clip:
+            if depth_clip == "clamp":
+                z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+            elif depth_clip:
                 covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
             if depth_test:
                 d_pass = _depth_cmp(depth_compare, z, zs[:])
@@ -408,7 +410,9 @@ def _raster_kernel_two_pass(
             z_u = f(9) + f(10) * ix + f(11) * iy
             hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
             z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
-            if depth_clip:
+            if depth_clip == "clamp":
+                z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+            elif depth_clip:
                 covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
             if depth_test:
                 d_pass = _depth_cmp(depth_compare, z, zs[:])
@@ -650,7 +654,9 @@ def _raster_kernel_batched(
                 z_u = f(9) + f(10) * ix + f(11) * iy
                 hi = jnp.right_shift(jnp.int32(1 << 29), zshift) + jnp.int32(1)
                 z = jnp.left_shift(jnp.clip(z_u, -hi, hi), zshift) + jnp.int32(1 << 29)
-                if depth_clip:
+                if depth_clip == "clamp":
+                    z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+                elif depth_clip:
                     covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
                 zk = jnp.where(covered & in_range, z, sent)
 
@@ -873,7 +879,9 @@ def _raster_kernel_sublane(
                     jnp.left_shift(jnp.clip(zy + dzxl, -hi_clamp, hi_clamp), zsh)
                     + jnp.int32(1 << 29)
                 )
-                if depth_clip:
+                if depth_clip == "clamp":
+                    z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+                elif depth_clip:
                     covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
                 if scissor is not None:
                     y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
@@ -1136,7 +1144,9 @@ def _raster_kernel_msaa4(
                     jnp.left_shift(jnp.clip(z_u + dz, -hi, hi), zshift)
                     + jnp.int32(1 << 29)
                 )
-                if depth_clip:
+                if depth_clip == "clamp":
+                    z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+                elif depth_clip:
                     covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
                 if depth_test:
                     d_pass = _depth_cmp(depth_compare, z, zs[s])

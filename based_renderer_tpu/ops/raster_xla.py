@@ -211,7 +211,9 @@ def rasterize_vis(
         z = depth_at_pixel(
             z_tile, ts.dzdx_q[t], ts.dzdy_q[t], ts.zshift[t], px - anchor_x, py - anchor_y
         )
-        if depth_clip:
+        if depth_clip == "clamp":
+            z = jnp.clip(z, 0, fp.DEPTH_ONE_Q)
+        elif depth_clip:
             covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
         d_pass = cmp_fn(z, vis.depth_q) if depth_test else jnp.ones_like(covered)
         if use_stencil:

@@ -73,6 +73,7 @@ def setup_triangles(
     w_eps: float = 1e-6,
     scissor=None,
     bbox_pad_fp: int = 0,
+    depth_bias=None,
 ) -> TriSetup:
     """Vectorized triangle setup.
 
@@ -92,6 +93,16 @@ def setup_triangles(
         units on every side — fp.MSAA4_BBOX_PAD_FP for coverage-sample
         MSAA, whose sample positions extend up to 6/16 px beyond the
         pixel center (mirrored by the oracle).
+      depth_bias: optional static (constant, slope, clamp) — the
+        depthBiasEnable rasterization state the reference declares
+        disabled (/root/reference/src/main.cpp:1777-1789).  Applied as a
+        per-triangle integer offset on the quantized vertex depths:
+        o = rint(constant) + rint(slope * m) quantized-LSB units, m the
+        triangle's max f32 depth slope per pixel; ``clamp`` (depth units,
+        0 = none) bounds o.  Because the edge coefficients of a triangle
+        sum to zero exactly, biasing all three vertex depths leaves the
+        exact integer depth gradients untouched — the bias flows through
+        the plane's base value only, so all proofs hold unchanged.
     """
     x, y, z, w = clip_pos[..., 0], clip_pos[..., 1], clip_pos[..., 2], clip_pos[..., 3]
     w_ok = jnp.all(w > jnp.float32(w_eps), axis=-1)
@@ -208,6 +219,28 @@ def setup_triangles(
     gy16 = gy * jnp.float32(fp.SUBPIXEL_SCALE)
     dzdx_q = jnp.rint(jnp.clip(gx16 * unit_scale, -gclamp, gclamp)).astype(jnp.int32)
     dzdy_q = jnp.rint(jnp.clip(gy16 * unit_scale, -gclamp, gclamp)).astype(jnp.int32)
+
+    if depth_bias is not None:
+        # Per-triangle bias in quantized-LSB (2^-24 depth) units, added to
+        # every vertex depth.  The gradients above were computed from the
+        # unbiased depths; adding a common constant would not change them
+        # anyway (sum of edge coefficients is exactly zero), so the bias
+        # reaches only the plane's base value.  Each term is a single f32
+        # multiply + rint (FMA-proof), then pure integer arithmetic —
+        # mirrored verbatim by reference/oracle.py.
+        bias_c, bias_s, bias_cl = depth_bias
+        blim = jnp.float32(1 << 29)
+        m_slope = jnp.maximum(jnp.abs(gx16), jnp.abs(gy16))
+        o = jnp.rint(jnp.clip(m_slope * jnp.float32(bias_s), -blim, blim)).astype(
+            jnp.int32
+        ) + jnp.int32(int(round(float(bias_c))))
+        if bias_cl > 0:
+            o = jnp.minimum(o, jnp.int32(int(round(float(bias_cl) * (1 << fp.DEPTH_LSB_BITS)))))
+        elif bias_cl < 0:
+            o = jnp.maximum(o, jnp.int32(int(round(float(bias_cl) * (1 << fp.DEPTH_LSB_BITS)))))
+        zq = jnp.clip(
+            zq + o[:, None], -fp.DEPTH_VERTEX_CLAMP, fp.DEPTH_VERTEX_CLAMP
+        )
 
     return TriSetup(
         valid=valid,

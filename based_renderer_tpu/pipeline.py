@@ -35,14 +35,29 @@ _STENCIL_OPS = (
     "decrement_wrap",
 )
 _FRONT_FACES = ("ccw", "cw")
+# The full VkBlendFactor enum as the reference's attachment state declares
+# it (/root/reference/src/main.cpp:1806-1827), minus the dual-source
+# (src1) family — the reference requests no dual-source-blend feature.
 _BLEND_FACTORS = (
     "zero",
     "one",
+    "src_color",
+    "one_minus_src_color",
+    "dst_color",
+    "one_minus_dst_color",
     "src_alpha",
     "one_minus_src_alpha",
     "dst_alpha",
     "one_minus_dst_alpha",
+    "constant_color",
+    "one_minus_constant_color",
+    "constant_alpha",
+    "one_minus_constant_alpha",
+    "src_alpha_saturate",
 )
+# VkBlendOp (the non-extension ops).  min/max ignore the blend factors,
+# exactly as the Vulkan spec defines them.
+_BLEND_OPS = ("add", "subtract", "reverse_subtract", "min", "max")
 
 
 @dataclass(frozen=True)
@@ -52,16 +67,35 @@ class DepthState:
     The reference allocates a D24S8 depth buffer but ships with the depth
     test disabled (commented-out DepthStencilState with compare eLess,
     main.cpp:1792-1804); both configurations are expressible here.
+
+    Depth bias and depth clamp mirror the reference's declared-but-disabled
+    rasterization-state fields (main.cpp:1777-1789, depthBiasEnable /
+    depthClampEnable).  The bias is applied in the integer quantized-depth
+    spec as a per-triangle offset on the vertex depths (ops/fixedpoint.py
+    "depth bias" note): o = rint(bias_constant) + rint(bias_slope * m)
+    in 2^-24 depth units, where m = max(|dz/dx|, |dz/dy|) per pixel —
+    Vulkan's r is exactly one quantized LSB here.  ``bias_clamp`` bounds o
+    (in [0,1] depth units; 0 disables the bound, as in Vulkan).
+    ``clamp`` is the depthClampEnable analog: fragment depth is clamped to
+    [0, 1] instead of being discarded (``clip`` is ignored while set).
     """
 
     test: bool = True
     write: bool = True
     compare: str = "less"
     clip: bool = True  # discard fragments with interpolated z outside [0,1]
+    clamp: bool = False  # clamp z to [0,1] instead of discarding (overrides clip)
+    bias_enable: bool = False
+    bias_constant: float = 0.0  # in units of the minimum resolvable depth (2^-24)
+    bias_slope: float = 0.0  # scales the triangle's max depth slope per pixel
+    bias_clamp: float = 0.0  # bound on the total bias, depth units; 0 = none
 
     def __post_init__(self):
         if self.compare not in _COMPARE_OPS:
             raise ValueError(f"bad depth compare {self.compare!r}; one of {_COMPARE_OPS}")
+        for v in (self.bias_constant, self.bias_slope, self.bias_clamp):
+            if not isinstance(v, (int, float)):
+                raise ValueError("depth bias parameters must be numbers")
 
 
 @dataclass(frozen=True)
@@ -101,11 +135,21 @@ class StencilState:
 
 @dataclass(frozen=True)
 class BlendState:
-    """Color blend state (reference: single attachment, all factors Zero —
-    blending effectively disabled, main.cpp:1806-1827).
+    """Color blend attachment state — the full VkPipelineColorBlendAttachmentState
+    the reference declares (blendEnable, src/dst color factors, colorBlendOp,
+    src/dst alpha factors, alphaBlendOp, colorWriteMask,
+    /root/reference/src/main.cpp:1806-1827) plus the blend-constants
+    "dynamic state" as a static field (the reference sets none).
 
     Blending composites per-draw over the accumulated color buffer:
-    out = src * src_factor + dst * dst_factor.
+      rgb = color_op(src.rgb * src_factor, dst.rgb * dst_factor)
+      a   = alpha_op(src.a * src_alpha_factor, dst.a * dst_alpha_factor)
+    with min/max ignoring the factors (Vulkan semantics), and
+    ``write_mask`` gating which channels are stored (it applies even with
+    blending disabled, as in Vulkan).
+
+    ``src_alpha_factor``/``dst_alpha_factor``/``alpha_op`` default to None,
+    meaning "same as the color factor/op".
 
     Semantics note (deferred-visibility renderer): within a single draw
     only the per-pixel *visibility winner* is blended — overlapping
@@ -118,11 +162,36 @@ class BlendState:
     enable: bool = False
     src_factor: str = "one"
     dst_factor: str = "zero"
+    color_op: str = "add"
+    src_alpha_factor: str | None = None  # None = src_factor
+    dst_alpha_factor: str | None = None  # None = dst_factor
+    alpha_op: str | None = None  # None = color_op
+    constants: tuple = (0.0, 0.0, 0.0, 0.0)  # blend constant color RGBA
+    write_mask: str = "rgba"  # any subset of "rgba", order-insensitive
 
     def __post_init__(self):
-        for f in (self.src_factor, self.dst_factor):
-            if f not in _BLEND_FACTORS:
+        for f in (
+            self.src_factor,
+            self.dst_factor,
+            self.src_alpha_factor,
+            self.dst_alpha_factor,
+        ):
+            if f is not None and f not in _BLEND_FACTORS:
                 raise ValueError(f"bad blend factor {f!r}; one of {_BLEND_FACTORS}")
+        for op in (self.color_op, self.alpha_op):
+            if op is not None and op not in _BLEND_OPS:
+                raise ValueError(f"bad blend op {op!r}; one of {_BLEND_OPS}")
+        if len(self.constants) != 4:
+            raise ValueError("blend constants must be RGBA (4 floats)")
+        if not all(isinstance(c, (int, float)) for c in self.constants):
+            raise ValueError("blend constants must be numbers")
+        seen = set()
+        for ch in self.write_mask:
+            if ch not in "rgba" or ch in seen:
+                raise ValueError(
+                    f"write_mask must be a subset of 'rgba' without repeats, got {self.write_mask!r}"
+                )
+            seen.add(ch)
 
 
 @dataclass(frozen=True)

@@ -116,12 +116,19 @@ def rasterize(
     depth_compare: str = "less",
     depth_write: bool = True,
     depth_clear: float = 1.0,
-    depth_clip: bool = True,
+    depth_clip=True,
     w_eps: float = 1e-6,
     stencil=None,
     stencil_clear: int = 0,
+    depth_bias=None,
 ):
     """Rasterize triangles, returning coverage/depth/barycentric buffers.
+
+    ``depth_clip`` accepts True (discard z outside [0,1]), False, or
+    "clamp" (clamp z into [0,1] — the depthClampEnable analog).
+    ``depth_bias`` is an optional (constant, slope, clamp) triple applied
+    per-triangle on the quantized vertex depths (the depthBiasEnable
+    analog; spec note in ops/setup.py).
 
     Args:
       clip_pos: (T, 3, 4) float32 clip-space positions.
@@ -146,6 +153,7 @@ def rasterize(
         w_eps,
         stencil,
         stencil_clear,
+        depth_bias,
     )
     return {k: v[0] for k, v in out.items()}
 
@@ -160,10 +168,11 @@ def rasterize_msaa4(
     depth_compare: str = "less",
     depth_write: bool = True,
     depth_clear: float = 1.0,
-    depth_clip: bool = True,
+    depth_clip=True,
     w_eps: float = 1e-6,
     stencil=None,
     stencil_clear: int = 0,
+    depth_bias=None,
 ):
     """MSAA-4x rasterization: per-SAMPLE coverage and depth, per-PIXEL
     attributes.
@@ -193,6 +202,7 @@ def rasterize_msaa4(
         w_eps,
         stencil,
         stencil_clear,
+        depth_bias,
     )
 
 
@@ -211,6 +221,7 @@ def _rasterize_samples(
     w_eps,
     stencil=None,
     stencil_clear=0,
+    depth_bias=None,
 ):
     clip_pos = np.asarray(clip_pos, np.float32)
     num_tris = clip_pos.shape[0]
@@ -300,6 +311,22 @@ def _rasterize_samples(
         dzdx_q = np.int64(np.rint(np.clip(np.float32(gx16 * unit_scale), -gclamp, gclamp)))
         dzdy_q = np.int64(np.rint(np.clip(np.float32(gy16 * unit_scale), -gclamp, gclamp)))
 
+        if depth_bias is not None:
+            # Mirror of ops/setup.py: o = rint(slope * m) + rint(constant)
+            # in quantized-LSB units, bounded by the bias clamp; single f32
+            # multiply, then integer arithmetic only.
+            bias_c, bias_s, bias_cl = depth_bias
+            blim = np.float32(1 << 29)
+            m_slope = np.float32(max(abs(gx16), abs(gy16)))
+            o = int(
+                np.rint(np.clip(np.float32(m_slope * np.float32(bias_s)), -blim, blim))
+            ) + int(round(float(bias_c)))
+            if bias_cl > 0:
+                o = min(o, int(round(float(bias_cl) * (1 << DEPTH_LSB_BITS))))
+            elif bias_cl < 0:
+                o = max(o, int(round(float(bias_cl) * (1 << DEPTH_LSB_BITS))))
+            zq = np.clip(zq + np.int64(o), -DEPTH_VERTEX_CLAMP, DEPTH_VERTEX_CLAMP)
+
         # Exact per-pixel edge values over the bbox: e[i] has shape (bh, bw).
         px = np.arange(x0, x1, dtype=np.int64) * SUBPIXEL_SCALE + HALF_PIXEL
         py = np.arange(y0, y1, dtype=np.int64) * SUBPIXEL_SCALE + HALF_PIXEL
@@ -366,7 +393,9 @@ def _rasterize_samples(
                 np.int32
             )
             covered = covered_s[s]
-            if depth_clip:
+            if depth_clip == "clamp":
+                zpix = np.clip(zpix, 0, DEPTH_ONE_Q)
+            elif depth_clip:
                 covered = covered & (zpix >= 0) & (zpix <= DEPTH_ONE_Q)
             window_d = depth_buf[s, y0:y1, x0:x1]
             d_pass = cmp_fn(zpix, window_d) if depth_test else np.ones_like(covered)

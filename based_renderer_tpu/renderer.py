@@ -114,31 +114,100 @@ class FrameResult:
 def _blend(src, dst, state):
     """Blend in planar (4, H, W) layout (alpha = channel 3, leading axis).
 
+    Implements the full VkPipelineColorBlendAttachmentState semantics the
+    reference declares (/root/reference/src/main.cpp:1806-1827): separate
+    color/alpha factor pairs and ops, the constant-color factor family,
+    min/max ops ignoring factors, and a colorWriteMask that applies even
+    when blending is disabled.
+
     Framebuffers are kept channel-planar on device: XLA pads the minor
     dimension to 128 lanes, so a materialized (H, W, 4) image costs 32x
     its logical size in HBM and bandwidth (measured: a supersampled-4K
     (H, W, 4) color buffer alone blew out HBM with a 32.0x padding
     expansion).  Host-side layout conversion is free by comparison.
     """
+    extra = (1,) * (src.ndim - 1)
+    const = jnp.asarray(state.constants, jnp.float32).reshape((4,) + extra)
 
-    def factor(name, s, d):
+    def factor(name, alpha):
+        # Channel-resolved factor: the RGB rows see the color component of
+        # color-valued factors; the alpha row sees the alpha component.
+        def comp(x):
+            return x[3:4] if alpha else x[0:3]
+
         if name == "zero":
             return jnp.float32(0.0)
         if name == "one":
             return jnp.float32(1.0)
+        if name == "src_color":
+            return comp(src)
+        if name == "one_minus_src_color":
+            return 1.0 - comp(src)
+        if name == "dst_color":
+            return comp(dst)
+        if name == "one_minus_dst_color":
+            return 1.0 - comp(dst)
         if name == "src_alpha":
-            return s[3:4]
+            return src[3:4]
         if name == "one_minus_src_alpha":
-            return 1.0 - s[3:4]
+            return 1.0 - src[3:4]
         if name == "dst_alpha":
-            return d[3:4]
+            return dst[3:4]
         if name == "one_minus_dst_alpha":
-            return 1.0 - d[3:4]
+            return 1.0 - dst[3:4]
+        if name == "constant_color":
+            return comp(const)
+        if name == "one_minus_constant_color":
+            return 1.0 - comp(const)
+        if name == "constant_alpha":
+            return const[3:4]
+        if name == "one_minus_constant_alpha":
+            return 1.0 - const[3:4]
+        if name == "src_alpha_saturate":
+            # f = min(src.a, 1 - dst.a) for color, 1 for alpha.
+            if alpha:
+                return jnp.float32(1.0)
+            return jnp.minimum(src[3:4], 1.0 - dst[3:4])
         raise ValueError(name)
 
-    if not state.enable:
-        return src
-    return src * factor(state.src_factor, src, dst) + dst * factor(state.dst_factor, src, dst)
+    def combine(op, sf_name, df_name, alpha):
+        s = src[3:4] if alpha else src[0:3]
+        d = dst[3:4] if alpha else dst[0:3]
+        if op == "min":
+            return jnp.minimum(s, d)
+        if op == "max":
+            return jnp.maximum(s, d)
+        a = s * factor(sf_name, alpha)
+        b = d * factor(df_name, alpha)
+        if op == "add":
+            return a + b
+        if op == "subtract":
+            return a - b
+        if op == "reverse_subtract":
+            return b - a
+        raise ValueError(op)
+
+    if state.enable:
+        rgb = combine(state.color_op, state.src_factor, state.dst_factor, alpha=False)
+        a = combine(
+            state.alpha_op if state.alpha_op is not None else state.color_op,
+            state.src_alpha_factor
+            if state.src_alpha_factor is not None
+            else state.src_factor,
+            state.dst_alpha_factor
+            if state.dst_alpha_factor is not None
+            else state.dst_factor,
+            alpha=True,
+        )
+        out = jnp.concatenate([rgb, a], axis=0)
+    else:
+        out = src
+    if set(state.write_mask) != set("rgba"):
+        mask = jnp.asarray(
+            [ch in state.write_mask for ch in "rgba"], jnp.bool_
+        ).reshape((4,) + extra)
+        out = jnp.where(mask, out, dst)
+    return out
 
 
 class Renderer:
@@ -158,8 +227,20 @@ class Renderer:
     def upload_mesh(self, positions, indices=None, **attrs) -> Mesh:
         return upload_mesh(positions, indices=indices, device=self.device, **attrs)
 
-    def upload_texture(self, image, wrap: str = "repeat", mipmaps: bool = False) -> Texture:
-        return upload_texture(image, device=self.device, wrap=wrap, mipmaps=mipmaps)
+    def upload_texture(
+        self,
+        image,
+        wrap: str = "repeat",
+        mipmaps: bool = False,
+        mip_filter: str = "nearest",
+    ) -> Texture:
+        return upload_texture(
+            image,
+            device=self.device,
+            wrap=wrap,
+            mipmaps=mipmaps,
+            mip_filter=mip_filter,
+        )
 
     def resize(self, width: int, height: int):
         """Change the framebuffer extent (the swapchain-recreation analog:
@@ -317,6 +398,21 @@ class Renderer:
             )
         return out
 
+    def _signal_fallback(self, pipe, knob, why):
+        """A requested fast kernel variant is ineligible for this draw:
+        warn (or raise in debug mode) instead of silently rendering ~6x
+        slower on the sequential kernel."""
+        import warnings
+
+        msg = (
+            f"{knob} requested (shader {pipe.shader!r}) but the draw is "
+            f"ineligible: {why}; falling back to the sequential raster "
+            f"kernel"
+        )
+        if self.config.debug:
+            raise DrawError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=4)
+
     @staticmethod
     def _scaled_scissor(pipe, scale):
         if pipe.scissor is None:
@@ -364,6 +460,60 @@ class Renderer:
             erw, erh = rw, rh
         pipelines = [d.pipeline for d in draws]
         shaders = [shader_lib.get(p.shader) for p in pipelines]
+
+        # Static per-draw kernel-variant eligibility (everything it depends
+        # on is a static jit key).  A requested-but-ineligible fast variant
+        # silently costing ~6x used to be invisible; now it warns, and
+        # raises in debug mode (the validation-layer analog).
+        def _reduction_ineligible_reason(pipe, tile_w_eff, need_tile128):
+            if not (pipe.depth.test and pipe.depth.write):
+                return "depth test+write disabled"
+            if pipe.depth.compare not in (
+                "less",
+                "less_equal",
+                "greater",
+                "greater_equal",
+            ):
+                return f"unordered depth compare {pipe.depth.compare!r}"
+            if pipe.stencil.enable:
+                return "stencil enabled"
+            if coverage_msaa:
+                return "coverage-sample MSAA"
+            if pipe.raster_two_pass:
+                return "two-pass rasterization requested"
+            if need_tile128 and tile_w_eff != 128:
+                return f"tile_w {tile_w_eff} != 128"
+            return None
+
+        tile_eff = []
+        variant_ok = []  # (batch_eligible, sublane_eligible) per draw
+        for pipe in pipelines:
+            tile_w_eff, tile_h_eff = pipe.raster_tile
+            if shard is not None:
+                import math
+
+                tile_w_eff = math.gcd(tile_w_eff, erw)
+                tile_h_eff = math.gcd(tile_h_eff, erh)
+                if tile_w_eff < 8 or tile_h_eff < 8:
+                    raise ValueError(
+                        f"shard extent {erw}x{erh} incompatible with "
+                        f"raster tiling (needs multiples of 8)"
+                    )
+            tile_eff.append((tile_w_eff, tile_h_eff))
+            batch_ok = sublane_ok = False
+            if use_pallas:
+                if pipe.raster_sublane:
+                    why = _reduction_ineligible_reason(pipe, tile_w_eff, True)
+                    sublane_ok = why is None
+                    if not sublane_ok:
+                        self._signal_fallback(pipe, "raster_sublane", why)
+                if pipe.raster_batch and not pipe.raster_sublane:
+                    why = _reduction_ineligible_reason(pipe, tile_w_eff, False)
+                    batch_ok = why is None
+                    if not batch_ok:
+                        self._signal_fallback(pipe, "raster_batch", why)
+            variant_ok.append((batch_ok, sublane_ok))
+
         if shard is not None:
             for p_ in pipelines:
                 if p_.scissor is not None:
@@ -445,7 +595,15 @@ class Renderer:
                     front_face=pipe.front_face,
                     scissor=self._scaled_scissor(pipe, scale),
                     bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP if coverage_msaa else 0,
+                    depth_bias=(
+                        pipe.depth.bias_constant,
+                        pipe.depth.bias_slope,
+                        pipe.depth.bias_clamp,
+                    )
+                    if pipe.depth.bias_enable
+                    else None,
                 )
+                depth_clip_mode = "clamp" if pipe.depth.clamp else pipe.depth.clip
                 interp = invw = None
                 var_keys = sorted(var_tri)
                 if use_pallas:
@@ -460,20 +618,10 @@ class Renderer:
                     )
                     num_t = clip_tri.shape[0]
                     # Sharded: global tile origins must stay aligned to the
-                    # tile size for the canonical-depth-anchor proof, so
-                    # clamp the tile to divide the shard extent (all values
-                    # divide 128, so the gcd does too).
-                    tile_w_eff, tile_h_eff = pipe.raster_tile
-                    if shard is not None:
-                        import math
-
-                        tile_w_eff = math.gcd(tile_w_eff, erw)
-                        tile_h_eff = math.gcd(tile_h_eff, erh)
-                        if tile_w_eff < 8 or tile_h_eff < 8:
-                            raise ValueError(
-                                f"shard extent {erw}x{erh} incompatible with "
-                                f"raster tiling (needs multiples of 8)"
-                            )
+                    # tile size for the canonical-depth-anchor proof, so the
+                    # tile was clamped to divide the shard extent above (all
+                    # values divide 128, so the gcd does too).
+                    tile_w_eff, tile_h_eff = tile_eff[i]
                     out = rasterize_vis_pallas(
                         ts,
                         erw,
@@ -483,7 +631,7 @@ class Renderer:
                         depth_test=pipe.depth.test,
                         depth_compare=pipe.depth.compare,
                         depth_write=pipe.depth.write,
-                        depth_clip=pipe.depth.clip,
+                        depth_clip=depth_clip_mode,
                         depth_clear=clear_depth,
                         max_pairs=max(int(num_t * pipe.raster_pairs_factor), 1024),
                         init=None if i == 0 else vis,
@@ -498,28 +646,10 @@ class Renderer:
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
                         # Batched/sublane reduction only where its depth-mode
-                        # eligibility holds; silently fall back otherwise.
-                        batch=pipe.raster_batch
-                        if (
-                            pipe.depth.test
-                            and pipe.depth.write
-                            and pipe.depth.compare
-                            in ("less", "less_equal", "greater", "greater_equal")
-                            and stencil_state is None
-                            and not coverage_msaa
-                            and not pipe.raster_two_pass
-                            and not pipe.raster_sublane
-                        )
-                        else 0,
-                        sublane=pipe.raster_sublane
-                        and pipe.depth.test
-                        and pipe.depth.write
-                        and pipe.depth.compare
-                        in ("less", "less_equal", "greater", "greater_equal")
-                        and stencil_state is None
-                        and not coverage_msaa
-                        and not pipe.raster_two_pass
-                        and tile_w_eff == 128,
+                        # eligibility holds (precomputed above; an ineligible
+                        # request warned / raised there).
+                        batch=pipe.raster_batch if variant_ok[i][0] else 0,
+                        sublane=variant_ok[i][1],
                         unroll=pipe.raster_unroll,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
@@ -547,7 +677,7 @@ class Renderer:
                         depth_test=pipe.depth.test,
                         depth_compare=pipe.depth.compare,
                         depth_write=pipe.depth.write,
-                        depth_clip=pipe.depth.clip,
+                        depth_clip=depth_clip_mode,
                         init=vis,
                         id_offset=draw_id_offset,
                         origin=raster_origin,
@@ -555,7 +685,13 @@ class Renderer:
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
                     )
-                per_draw.append((ts, var_tri, offset, ntri_draw, interp, invw))
+                # Snapshot this draw's visibility state (free: jax arrays
+                # are immutable).  Compositing each draw against its own
+                # snapshot gives Vulkan's sequential semantics: a draw's
+                # fragments contribute color wherever they passed the
+                # depth/stencil tests *at their point in the frame*, even
+                # if a later draw overwrites the pixel afterwards.
+                per_draw.append((ts, var_tri, offset, ntri_draw, interp, invw, vis))
                 offset += ntri_draw
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
@@ -568,11 +704,11 @@ class Renderer:
             )
             color = jnp.broadcast_to(clear, cshape)
             for i, d in enumerate(dyn):
-                ts, var_tri, off, ntri, interp, invw = per_draw[i]
+                ts, var_tri, off, ntri, interp, invw, vis_i = per_draw[i]
                 pipe = pipelines[i]
-                mask = (vis.tri_id >= off) & (vis.tri_id < off + ntri)
-                local = jnp.where(mask, vis.tri_id - off, -1)
-                vis_local = vis._replace(tri_id=local)
+                mask = (vis_i.tri_id >= off) & (vis_i.tri_id < off + ntri)
+                local = jnp.where(mask, vis_i.tri_id - off, -1)
+                vis_local = vis_i._replace(tri_id=local)
                 if interp is not None or coverage_msaa or use_pallas:
                     # Gather-free shading: attributes were interpolated by
                     # the raster kernel as screen-space planes.  (With
@@ -595,7 +731,7 @@ class Renderer:
                             c0 += c
                     frag["tri_id"] = vis_local.tri_id
                     frag["depth"] = vis_local.depth
-                    frag["bary"] = jnp.stack([vis.b0, vis.b1, vis.b2], axis=-1)
+                    frag["bary"] = jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2], axis=-1)
                     if coverage_msaa:
                         uni = d["uniforms"]
                         rgba = jax.vmap(lambda fr: shaders[i].fragment(fr, uni))(frag)

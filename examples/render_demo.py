@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--backend", default="auto", choices=("auto", "xla", "pallas"))
     ap.add_argument("--profile", action="store_true",
                     help="fence + time render/present stages (StageTimer)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the run "
+                         "into DIR (view in TensorBoard/Perfetto)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -44,6 +47,7 @@ def main():
     from based_renderer_tpu.models import demos
     from based_renderer_tpu import present, runtime
     from based_renderer_tpu.utils.errors import main_guard
+    from based_renderer_tpu.utils import profiling
     from based_renderer_tpu.utils.profiling import StageTimer
 
     if args.list:
@@ -72,10 +76,18 @@ def main():
                 )
 
         timer = StageTimer() if args.profile else None
-        last, pacer = present.render_loop(
-            r, demo, frames=args.frames, on_frame=on_frame, vsync=args.vsync,
-            timer=timer,
+        import contextlib
+
+        trace_cm = (
+            profiling.trace(args.trace) if args.trace else contextlib.nullcontext()
         )
+        with trace_cm:
+            last, pacer = present.render_loop(
+                r, demo, frames=args.frames, on_frame=on_frame, vsync=args.vsync,
+                timer=timer,
+            )
+        if args.trace:
+            print(f"device trace written to {args.trace}")
         if ring is not None:
             ring.flush()
             ring.close()

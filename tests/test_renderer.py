@@ -239,3 +239,35 @@ def test_indexed_upload_deindexes_equivalently():
     np.testing.assert_array_equal(np.asarray(fa.tri_id), np.asarray(fb.tri_id))
     np.testing.assert_array_equal(np.asarray(fa.depth_q), np.asarray(fb.depth_q))
     np.testing.assert_array_equal(fa.color_np(), fb.color_np())
+
+
+def test_kernel_fallback_signals():
+    """A requested-but-ineligible fast raster variant warns (raises in
+    debug) instead of silently falling back to the sequential kernel."""
+    import dataclasses
+    import warnings
+
+    cfg = brt.RendererConfig(width=256, height=128, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    bad = dataclasses.replace(
+        pipe,
+        raster_sublane=True,
+        depth=DepthState(test=False, write=False),
+    )
+    with pytest.warns(RuntimeWarning, match="raster_sublane"):
+        r.render_frame(bad, mesh, uniforms(0.0))
+    bad_batch = dataclasses.replace(
+        pipe, raster_batch=8, depth=DepthState(compare="not_equal")
+    )
+    with pytest.warns(RuntimeWarning, match="raster_batch"):
+        r.render_frame(bad_batch, mesh, uniforms(0.0))
+    # An eligible draw stays quiet.
+    ok = dataclasses.replace(pipe, raster_sublane=True, raster_tile=(128, 8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r.render_frame(ok, mesh, uniforms(0.0))
+    # Debug mode raises instead.
+    rd = brt.Renderer(dataclasses.replace(cfg, debug=True))
+    with pytest.raises(brt.errors.DrawError, match="ineligible"):
+        rd.render_frame(bad, mesh, uniforms(0.0))

@@ -219,3 +219,17 @@ def test_anisotropic_reduces_streak_aliasing():
     bil = np.asarray(tx.sample_bilinear(jnp.asarray(np.asarray(img, np.float32)), uv))
     assert aniso[..., 0].std() >= mip[..., 0].std() * 0.9
     assert aniso[..., 0].std() <= bil[..., 0].std()
+
+
+def test_renderer_upload_texture_exposes_sampler_state():
+    """Renderer.upload_texture passes wrap/mipmaps/mip_filter through
+    (the trilinear opt-in used to be unreachable from the renderer
+    surface)."""
+    import based_renderer_tpu as brt
+
+    r = brt.Renderer(brt.RendererConfig(width=32, height=32))
+    img = geometry.checkerboard_texture()
+    t = r.upload_texture(img, wrap="clamp", mipmaps=True, mip_filter="linear")
+    assert t.wrap == "clamp"
+    assert t.mip_filter == "linear"
+    assert t.num_levels > 1
