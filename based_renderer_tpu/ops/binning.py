@@ -229,7 +229,7 @@ def bin_triangles(
             overflowed=jnp.bool_(False),
         )
 
-    # ---- pair expansion (tri-major, draw order) --------------------------
+    # ---- pair expansion (first-tile / extras split) ----------------------
     # bboxes are global; clip to this shard's window, then tile indices are
     # local to the shard's grid.
     bx0 = jnp.maximum(ts.bbox[:, 0] - origin_x, 0)
@@ -246,53 +246,61 @@ def bin_triangles(
     bh = jnp.where(live, y1 - y0 + 1, 0)
     k = bw * bh
 
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(k, dtype=jnp.int32)])
-    total = offsets[-1]
-    overflowed = total > max_pairs
-
     # GATHER DISCIPLINE (measured on v5e): a single-column gather of ~1.5M
     # elements costs ~10 ms, while a multi-column ROW gather of the same
-    # row count costs ~10 ms *total* — so this stage does exactly TWO row
-    # gathers (one narrow pre-sort, one wide post-sort) and zero
-    # single-column gathers.  The tile sort carries the triangle index as
-    # a sort payload (lax.sort, ~3.5 ms) instead of argsort + three
-    # one-column permutation gathers (~30 ms).
-    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    in_range = pair_idx < total
-    # Pair expansion: ONE row-repeat of a 5-column table carrying both
-    # the triangle index and everything the pair->tile mapping needs —
-    # measured 2x cheaper than a 1-column repeat plus a separate row
-    # gather (13 vs 25 ms at 1.5M pairs).  The repeated block is
-    # transposed once so the per-column consumers read contiguous rows —
-    # column extraction from a (P, k) lane-tiled array reads nearly the
-    # whole tiled footprint per column (see the fused gather below).
-    exp_table = jnp.stack(
-        [
-            offsets[:-1],
-            jnp.maximum(bw, 1),
-            x0,
-            y0,
-            jnp.arange(num_tris, dtype=jnp.int32),
-        ],
-        axis=1,
-    )
-    exp = jnp.repeat(exp_table, k, axis=0, total_repeat_length=max_pairs)
-    expT = jax.lax.optimization_barrier(exp.T)
-    tri = expT[4]
-    seq = pair_idx - expT[0]
-    bw_t = expT[1]
-    tile_y = expT[3] + seq // bw_t
-    tile_x = expT[2] + seq % bw_t
-    tile_id = jnp.where(in_range, tile_y * num_tx + tile_x, jnp.int32(num_tiles))
+    # row count costs ~10 ms *total* — so this stage does exactly TWO
+    # gather-class ops (one narrow row-repeat pre-sort, one wide row
+    # gather post-sort) and zero single-column gathers.  The tile sort
+    # carries the triangle index as a second key (lax.sort) instead of
+    # argsort + permutation gathers (~30 ms).
+    #
+    # FIRST-TILE / EXTRAS SPLIT: on dense tiny-triangle meshes ~80-90% of
+    # pairs are a triangle's FIRST (often only) tile, whose id is plain
+    # per-triangle arithmetic — no expansion needed.  Only the k-1 extra
+    # tiles of multi-tile triangles go through the row-repeat, shrinking
+    # the repeat from every pair to the extras alone (measured: the 5-col
+    # repeat was ~13 ms of a ~45 ms binner at 1.5M pairs).  Draw order
+    # within a tile is restored by sorting on (tile, tri): (tri, tile)
+    # pairs are unique, so the two-key order equals the old stable
+    # tri-major order exactly.
+    num_valid_pairs = jnp.sum(live.astype(jnp.int32))
+    first_tile = jnp.where(live, y0 * num_tx + x0, jnp.int32(num_tiles))
+    tri_ids = jnp.arange(num_tris, dtype=jnp.int32)
 
-    # Stable sort by tile keeps pairs in draw order within each tile —
-    # the depth-tie semantics of the sequential rasterizer are preserved
-    # (pairs are tri-major pre-sort, so equal-tile runs stay in draw
-    # order).  Out-of-range pairs carry the max sentinel key and land at
-    # the end, so slot validity needs no permutation gather at all.
-    tile_id_sorted, t_slot = jax.lax.sort(
-        [tile_id, tri], num_keys=1, is_stable=True
+    extra_budget = max(max_pairs - num_tris, 0)
+    ke = jnp.maximum(k - 1, 0)
+    eoffsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ke, dtype=jnp.int32)]
     )
+    total_extra = eoffsets[-1]
+    overflowed = total_extra > extra_budget
+    true_pairs = num_valid_pairs + total_extra  # pre-truncation count
+    total = num_valid_pairs + jnp.minimum(total_extra, extra_budget)
+
+    e_table = jnp.stack(
+        [eoffsets[:-1], jnp.maximum(bw, 1), x0, y0, tri_ids], axis=1
+    )
+    eexp = jnp.repeat(e_table, ke, axis=0, total_repeat_length=extra_budget)
+    eT = jax.lax.optimization_barrier(eexp.T)
+    extra_idx = jnp.arange(extra_budget, dtype=jnp.int32)
+    e_in_range = extra_idx < total_extra
+    seq = extra_idx - eT[0] + 1  # skip the first tile (row-major order)
+    bw_t = eT[1]
+    e_tile_y = eT[3] + seq // bw_t
+    e_tile_x = eT[2] + seq % bw_t
+    e_tile = jnp.where(
+        e_in_range, e_tile_y * num_tx + e_tile_x, jnp.int32(num_tiles)
+    )
+
+    tile_id_all = jnp.concatenate([first_tile, e_tile])
+    tri_all = jnp.concatenate([tri_ids, eT[4]])
+    # Two-key sort: (tile, tri).  Unsorted-key payloads are unnecessary —
+    # tri IS the draw order.
+    tile_id_sorted, t_slot = jax.lax.sort(
+        [tile_id_all, tri_all], num_keys=2, is_stable=False
+    )
+    max_pairs = num_tris + extra_budget  # actual padded stream length
+    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_id_sorted, tile_range, side="left").astype(jnp.int32)
@@ -413,6 +421,6 @@ def bin_triangles(
         frecords=frecords,
         tile_start=tile_start,
         tile_count=count,
-        num_pairs=total,
+        num_pairs=true_pairs,
         overflowed=overflowed,
     )

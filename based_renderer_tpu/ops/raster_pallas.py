@@ -856,10 +856,6 @@ def _raster_kernel_sublane(
 
             rec_i = g * 8 + subi
             inr = (rec_i >= lo) & (rec_i < hi_b)
-            axl0 = f(3) * xl
-            axl1 = f(4) * xl
-            axl2 = f(5) * xl
-            dzxl = f(10) * xl
             # Records outside the live window get the same impossible-edge
             # treatment the binner gives invalid slots (very negative e0,
             # zero step): one select per group instead of a mask per row.
@@ -867,36 +863,47 @@ def _raster_kernel_sublane(
             ay1, ay2, dzy = f(7), f(8), f(11)
             zsh = f(12)
             hi_clamp = jnp.right_shift(jnp.int32(1 << 29), zsh) + jnp.int32(1)
-            e0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30)))
-            e1, e2, zy = f(1), f(2), f(9)
+            # Row state carried across the loop: E_i and Z already include
+            # the per-lane x term, so each row costs four adds to advance
+            # instead of re-evaluating the planes (~30% fewer pass-1 ops).
+            E0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30))) + f(3) * xl
+            E1 = f(1) + f(4) * xl
+            E2 = f(2) + f(5) * xl
+            Z = f(9) + f(10) * xl
+            Q = jnp.int32(fp.DEPTH_ONE_Q)
             z_rows = []
             i_rows = []
             for y in range(tile_h):
-                # all-non-negative == the OR of the three has a clear sign
-                # bit (exactly the 3-compare AND, two ops cheaper).
-                covered = ((e0 + axl0) | (e1 + axl1) | (e2 + axl2)) >= 0
                 z = (
-                    jnp.left_shift(jnp.clip(zy + dzxl, -hi_clamp, hi_clamp), zsh)
+                    jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
                     + jnp.int32(1 << 29)
                 )
+                # all-non-negative == the OR of the three has a clear sign
+                # bit (exactly the 3-compare AND, two ops cheaper).
+                m = (E0 | E1) | E2
                 if depth_clip == "clamp":
-                    z = jnp.clip(z, 0, jnp.int32(fp.DEPTH_ONE_Q))
+                    z = jnp.clip(z, 0, Q)
                 elif depth_clip:
-                    covered = covered & (z >= 0) & (z <= jnp.int32(fp.DEPTH_ONE_Q))
+                    # z in [0, Q] iff neither z nor Q - z is negative —
+                    # folded into the coverage sign test (two compares and
+                    # two ands per row cheaper; Q - z cannot overflow: the
+                    # clamp above bounds |z - 2^29| by 2^29 + 2^zshift).
+                    m = m | (z | (Q - z))
                 if scissor is not None:
                     y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
-                    covered = covered & xmask & y_ok
-                zk = jnp.where(covered, z, sent)
+                    zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
+                else:
+                    zk = jnp.where(m >= 0, z, sent)
                 zw = red_z(zk, axis=0, keepdims=True)
                 iw = red_idx(
                     jnp.where(zk == zw, subi, idx_sent), axis=0, keepdims=True
                 )
                 z_rows.append(zw)
                 i_rows.append(iw)
-                e0 = e0 + ay0
-                e1 = e1 + ay1
-                e2 = e2 + ay2
-                zy = zy + dzy
+                E0 = E0 + ay0
+                E1 = E1 + ay1
+                E2 = E2 + ay2
+                Z = Z + dzy
             zg = jnp.concatenate(z_rows, axis=0)
             ig = jnp.concatenate(i_rows, axis=0)
             take = better(zg, zs[:]) & (zg != sent)

@@ -193,6 +193,22 @@ class TiledRenderer:
         dyn = inner._dynamic_args(draws)
         clear_color = jnp.asarray(inner._frame_clear[0], jnp.float32)
         color, depth_q, tri_id, stencil, overflowed = program(dyn, clear_color)
+        if self.config.debug:
+            # Same validation-layer analog as Renderer.end_frame: binner
+            # overflow raises, and the (gathered) color image is NaN-checked.
+            import numpy as np
+
+            from ..utils.errors import AllocationError, FrameError
+
+            if bool(overflowed):
+                raise AllocationError(
+                    "raster pair buffer overflow on a shard: a draw's "
+                    "(tile, triangle) pair count exceeded its "
+                    "raster_pairs_factor budget; raise "
+                    "Pipeline.raster_pairs_factor"
+                )
+            if not np.isfinite(np.asarray(color)).all():
+                raise FrameError("non-finite values in rendered color buffer")
         return FrameResult(
             color_planar=color,
             depth_q=depth_q,

@@ -78,6 +78,11 @@ class DepthState:
     (in [0,1] depth units; 0 disables the bound, as in Vulkan).
     ``clamp`` is the depthClampEnable analog: fragment depth is clamped to
     [0, 1] instead of being discarded (``clip`` is ignored while set).
+
+    Note: this renderer's depth ``clip`` is a per-fragment test that runs
+    *after* the bias (Vulkan clips z in clip space before bias), so a
+    bias large enough to push fragments outside [0, 1] discards them —
+    pair large biases with ``clamp=True`` for GL-style post-bias clamping.
     """
 
     test: bool = True

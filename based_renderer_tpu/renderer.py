@@ -515,9 +515,6 @@ class Renderer:
             variant_ok.append((batch_ok, sublane_ok))
 
         if shard is not None:
-            for p_ in pipelines:
-                if p_.scissor is not None:
-                    raise ValueError("scissor is not supported on the tiled path")
             if shard.get("geometry") and not use_pallas:
                 from .utils.errors import FeatureNotPresentError
 
@@ -606,6 +603,47 @@ class Renderer:
                 depth_clip_mode = "clamp" if pipe.depth.clamp else pipe.depth.clip
                 interp = invw = None
                 var_keys = sorted(var_tri)
+                # Scissor on the tiled path: the in-kernel mask works in
+                # local tile coordinates, so sharded draws rasterize
+                # unmasked (bboxes are still clamped to the global scissor
+                # in setup) and revert to the pre-draw state outside the
+                # rect — bit-identical to in-kernel masking, since all
+                # per-pixel updates are suppressed either way.
+                shard_scissor = shard is not None and pipe.scissor is not None
+                kernel_scissor = (
+                    None if shard_scissor else self._scaled_scissor(pipe, scale)
+                )
+                prev_vis = vis
+
+                def apply_shard_scissor(vis_new):
+                    if not shard_scissor:
+                        return vis_new
+                    sx0, sy0, sx1, sy1 = self._scaled_scissor(pipe, scale)
+                    gx = raster_origin[0] + jax.lax.broadcasted_iota(
+                        jnp.int32, (erh, erw), 1
+                    )
+                    gy = raster_origin[1] + jax.lax.broadcasted_iota(
+                        jnp.int32, (erh, erw), 0
+                    )
+                    m = (gx >= sx0) & (gx < sx1) & (gy >= sy0) & (gy < sy1)
+                    if coverage_msaa:
+                        m = m[None]
+                    new_st = vis_new.stencil
+                    if new_st is not None:
+                        prev_st = prev_vis.stencil
+                        if prev_st is None:
+                            prev_st = jnp.full_like(
+                                new_st, jnp.int32(cfg.clear_stencil & 0xFF)
+                            )
+                        new_st = jnp.where(m, new_st, prev_st)
+                    return vis_new._replace(
+                        tri_id=jnp.where(m, vis_new.tri_id, prev_vis.tri_id),
+                        depth_q=jnp.where(m, vis_new.depth_q, prev_vis.depth_q),
+                        b0=jnp.where(m, vis_new.b0, prev_vis.b0),
+                        b1=jnp.where(m, vis_new.b1, prev_vis.b1),
+                        b2=jnp.where(m, vis_new.b2, prev_vis.b2),
+                        stencil=new_st,
+                    )
                 if use_pallas:
                     from .ops.raster_pallas import rasterize_vis_pallas
 
@@ -639,7 +677,7 @@ class Renderer:
                         origin=raster_origin,
                         channels=channels,
                         perspective=pipe.perspective_correct,
-                        scissor=self._scaled_scissor(pipe, scale),
+                        scissor=kernel_scissor,
                         skip_losers=pipe.raster_skip_losers,
                         two_pass=pipe.raster_two_pass,
                         msaa4=coverage_msaa,
@@ -664,6 +702,7 @@ class Renderer:
                     if vis.stencil is None and prev_stencil is not None:
                         # Stencil-disabled draws leave the attachment as-is.
                         vis = vis._replace(stencil=prev_stencil)
+                    vis = apply_shard_scissor(vis)
                     if geometry is not None:
                         # Depth-composite this draw's per-shard winners so
                         # every shard continues from the merged state.
@@ -681,10 +720,11 @@ class Renderer:
                         init=vis,
                         id_offset=draw_id_offset,
                         origin=raster_origin,
-                        scissor=self._scaled_scissor(pipe, scale),
+                        scissor=kernel_scissor,
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
                     )
+                    vis = apply_shard_scissor(vis)
                 # Snapshot this draw's visibility state (free: jax arrays
                 # are immutable).  Compositing each draw against its own
                 # snapshot gives Vulkan's sequential semantics: a draw's
@@ -805,15 +845,51 @@ class Renderer:
         Returns:
           checksums (N,) f32, or (checksums, colors (N, H, W, 4)).
         """
+        return self.render_sequence_multi(
+            [
+                {
+                    "pipeline": pipeline,
+                    "mesh": mesh,
+                    "uniforms_seq": uniforms_seq,
+                    "instances": instances,
+                    "static_uniforms": static_uniforms,
+                }
+            ],
+            num_frames=num_frames,
+            return_frames=return_frames,
+        )
+
+    def render_sequence_multi(
+        self,
+        seq_draws,
+        *,
+        num_frames: int | None = None,
+        return_frames: bool = False,
+    ):
+        """Multi-draw ``render_sequence``: N frames of a recorded draw
+        list in ONE device dispatch.
+
+        Blend layers, stencil passes, and mixed-pipeline frames get the
+        same batched lax.scan schedule as single-draw animation (and the
+        same elision-proof benchmarking story — per-frame dispatch costs
+        40-70 ms on this tunnel).
+
+        Args:
+          seq_draws: list of dicts with keys
+            pipeline, mesh, uniforms_seq (pytree of (N, ...) stacked
+            per-frame arrays), instances (optional), static_uniforms
+            (optional; shared across frames, e.g. textures).
+        Returns:
+          checksums (N,) f32, or (checksums, colors) if return_frames.
+        """
         self.begin_frame()
         # Validate via the normal draw path using frame 0's uniforms.
-        # static_uniforms (e.g. textures) are shared across all frames
-        # rather than scanned over.
-        static_uniforms = static_uniforms or {}
-        u0 = jax.tree.map(lambda x: x[0], uniforms_seq)
-        if isinstance(u0, dict):
-            u0 = {**static_uniforms, **u0}
-        self.draw(pipeline, mesh, u0, instances)
+        for sd in seq_draws:
+            stat = sd.get("static_uniforms") or {}
+            u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
+            if isinstance(u0, dict):
+                u0 = {**stat, **u0}
+            self.draw(sd["pipeline"], sd["mesh"], u0, sd.get("instances"))
         draws = self._draws
         self._draws, self._in_frame = [], False
 
@@ -824,17 +900,24 @@ class Renderer:
 
             def seq(dyn_seq, clear_color):
                 def body(carry, xs):
-                    u, _ = xs
-                    d = dict(dyn_seq[0])
-                    stat = dyn_seq[0]["static_uniforms"]
-                    d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
-                    color, _depth_q, _tri_id, _stencil, of = single([d], clear_color)
+                    us, _ = xs
+                    ds = []
+                    for i, d0 in enumerate(dyn_seq):
+                        d = dict(d0)
+                        stat = d0["static_uniforms"]
+                        u = us[i]
+                        d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
+                        ds.append(d)
+                    color, _depth_q, _tri_id, _stencil, of = single(ds, clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
                     return carry | of, out
 
-                # The dummy ticks carry the frame count even when the
+                # The dummy ticks carry the frame count even when every
                 # uniforms tree is empty (e.g. the static triangle demo).
-                xs = (dyn_seq[0]["uniforms_seq"], dyn_seq[0]["frame_ticks"])
+                xs = (
+                    tuple(d0["uniforms_seq"] for d0 in dyn_seq),
+                    dyn_seq[0]["frame_ticks"],
+                )
                 overflowed, outs = jax.lax.scan(body, jnp.bool_(False), xs)
                 return outs, overflowed
 
@@ -842,13 +925,20 @@ class Renderer:
             self._program_cache[key] = program
 
         dyn = self._dynamic_args(draws)
-        dyn[0]["uniforms_seq"] = jax.tree.map(self._uniform_leaf, uniforms_seq)
-        leaves = jax.tree.leaves(uniforms_seq)
-        n = leaves[0].shape[0] if leaves else num_frames
+        n = num_frames
+        for i, sd in enumerate(seq_draws):
+            dyn[i]["uniforms_seq"] = jax.tree.map(
+                self._uniform_leaf, sd["uniforms_seq"]
+            )
+            dyn[i]["static_uniforms"] = jax.tree.map(
+                self._uniform_leaf, sd.get("static_uniforms") or {}
+            )
+            leaves = jax.tree.leaves(sd["uniforms_seq"])
+            if leaves:
+                n = leaves[0].shape[0]
         if n is None:
             raise FrameError("render_sequence needs num_frames when uniforms are empty")
         dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
-        dyn[0]["static_uniforms"] = jax.tree.map(self._uniform_leaf, static_uniforms)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
         outs, overflowed = program(dyn, clear_color)
         # Pair-budget overflow across the whole sequence: raise in debug,

@@ -73,7 +73,13 @@ def test_bias_resolves_coplanar_fighting():
     draw loses under 'less'); a negative bias pulls the decal in front."""
     r = brt.Renderer(brt.RendererConfig(width=64, height=48))
     tri = geometry.triangle_mesh_data()
-    mesh = r.upload_mesh(tri["positions"])
+    # Mid-range depth: the per-fragment depth clip runs after the bias
+    # here (unlike Vulkan's clip-space z clipping), so a decal biased off
+    # the z=0 near plane would be discarded.
+    pos = np.concatenate(
+        [tri["positions"][:, :2], np.full((3, 1), 0.5, np.float32)], axis=1
+    )
+    mesh = r.upload_mesh(pos)
     base = Pipeline(shader="flat_ndc")
     decal_unbiased = base
     decal_biased = Pipeline(

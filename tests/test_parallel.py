@@ -238,3 +238,44 @@ def test_geometry_parallel_instanced_sublane():
     np.testing.assert_allclose(
         sf.color_np(), np.moveaxis(np.asarray(color), 0, -1), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_tiled_scissor_matches(backend):
+    """Scissor on the tiled path (post-select in global coords) is
+    bit-identical to the single-device in-kernel scissor mask."""
+    rect = (20, 10, 60, 40)
+    cfg = brt.RendererConfig(width=W, height=H, raster_backend=backend)
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    spipe = dataclasses.replace(pipe, scissor=rect)
+    u = uniforms(0.5)
+    sf = r.render_frame(spipe, mesh, u)
+    tr = TiledRenderer(cfg, mesh_2d(2, 4))
+    color, depth_q, tri_id = tr.render(spipe, mesh, u)
+    assert_tiled_matches(cfg, tr, sf, color, depth_q, tri_id, 1e-5)
+    # The rect actually clipped something.
+    cov = np.asarray(tri_id) >= 0
+    assert cov.any()
+    assert not cov[: rect[1]].any() and not cov[rect[3]:].any()
+
+
+def test_tiled_debug_validation():
+    """TiledRenderer honors config.debug: binner overflow raises the same
+    AllocationError as the single-device renderer."""
+    cfg = brt.RendererConfig(
+        width=W, height=H, raster_backend="pallas", debug=True
+    )
+    r = brt.Renderer(cfg)
+    # Enough triangles that the binner's 1024-pair floor overflows.
+    pipe, mesh, uniforms, inst = demos.instanced_demo(r, count=500)
+    # sublane off: the shard extent clamps tile_w below 128, which in
+    # debug mode raises its own (correct) ineligibility DrawError first.
+    tiny = dataclasses.replace(
+        pipe, raster_pairs_factor=0.0001, raster_sublane=False
+    )
+    tr = TiledRenderer(cfg, mesh_2d(2, 4))
+    tr.begin_frame()
+    tr.draw(tiny, mesh, uniforms(0.2), inst)
+    with pytest.raises(brt.errors.AllocationError):
+        tr.end_frame()

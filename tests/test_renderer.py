@@ -271,3 +271,41 @@ def test_kernel_fallback_signals():
     rd = brt.Renderer(dataclasses.replace(cfg, debug=True))
     with pytest.raises(brt.errors.DrawError, match="ineligible"):
         rd.render_frame(bad, mesh, uniforms(0.0))
+
+
+def test_render_sequence_multi_matches_per_frame():
+    """A 2-draw blended animation through the batched lax.scan schedule
+    must match per-frame rendering exactly."""
+    import jax
+
+    r = brt.Renderer(SMALL)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    tri = r.upload_mesh(geometry.triangle_mesh_data()["positions"])
+    blend_pipe = Pipeline(
+        shader="flat_ndc",
+        depth=DepthState(test=False, write=False),
+        blend=brt.BlendState(
+            enable=True, src_factor="src_alpha", dst_factor="one_minus_src_alpha"
+        ),
+    )
+    times = [0.0, 0.4, 0.9]
+    useq1 = jax.tree.map(lambda *xs: jnp.stack(xs), *[uniforms(t) for t in times])
+    alphas = jnp.asarray(
+        [[1, 0, 0, 0.3], [0, 1, 0, 0.5], [0, 0, 1, 0.8]], jnp.float32
+    )
+    sums, frames = r.render_sequence_multi(
+        [
+            {"pipeline": pipe, "mesh": mesh, "uniforms_seq": useq1},
+            {"pipeline": blend_pipe, "mesh": tri, "uniforms_seq": {"color": alphas}},
+        ],
+        return_frames=True,
+    )
+    assert len(set(np.round(np.asarray(sums), 3))) == len(times)
+    for k, t in enumerate(times):
+        r.begin_frame()
+        r.draw(pipe, mesh, uniforms(t))
+        r.draw(blend_pipe, tri, {"color": alphas[k]})
+        f = r.end_frame()
+        np.testing.assert_array_equal(
+            np.asarray(frames[k]), np.asarray(f.color_planar)
+        )
