@@ -60,6 +60,9 @@ def textured_cube_demo(r: Renderer):
         depth=DepthState(test=True, write=True, compare="less"),
         cull_mode="back",
         front_face="ccw",
+        # Texture taps cost per shaded pixel (flat-gather floor), so pay
+        # per covered tile: the cube covers well under half the screen.
+        shade_compact=0.5,
     )
     aspect = r.config.width / r.config.height
 

@@ -232,7 +232,7 @@ class Renderer:
         image,
         wrap: str = "repeat",
         mipmaps: bool = False,
-        mip_filter: str = "nearest",
+        mip_filter: str = "linear",
     ) -> Texture:
         return upload_texture(
             image,
@@ -757,22 +757,31 @@ class Renderer:
                     # were evaluated at the pixel center of each sample's
                     # winner — shading cost is per sample layer, raster and
                     # binning cost are per pixel.)
-                    frag = {}
+                    interp_vals = None
                     if interp is not None:
                         if pipe.perspective_correct:
                             denom = jnp.where(invw == 0, jnp.float32(1.0), invw)
                             interp_vals = interp / denom[None]
                         else:
                             interp_vals = interp
-                        c0 = 0
-                        for k in sorted(var_tri):
-                            c = var_tri[k].shape[-1]
-                            frag[k] = jnp.moveaxis(interp_vals[c0 : c0 + c], 0, -1)
-                            c0 += c
-                    frag["tri_id"] = vis_local.tri_id
-                    frag["depth"] = vis_local.depth
-                    frag["bary"] = jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2], axis=-1)
+
+                    def build_frag(iv):
+                        frag = {}
+                        if iv is not None:
+                            c0 = 0
+                            for k in sorted(var_tri):
+                                c = var_tri[k].shape[-1]
+                                frag[k] = jnp.moveaxis(iv[c0 : c0 + c], 0, -1)
+                                c0 += c
+                        return frag
+
                     if coverage_msaa:
+                        frag = build_frag(interp_vals)
+                        frag["tri_id"] = vis_local.tri_id
+                        frag["depth"] = vis_local.depth
+                        frag["bary"] = jnp.stack(
+                            [vis_i.b0, vis_i.b1, vis_i.b2], axis=-1
+                        )
                         uni = d["uniforms"]
                         rgba = jax.vmap(lambda fr: shaders[i].fragment(fr, uni))(frag)
                         rgba = jnp.transpose(rgba, (0, 3, 1, 2))  # (S, 4, rh, rw)
@@ -781,7 +790,91 @@ class Renderer:
                         )
                         color = jnp.where(mask[:, None], blended, color)
                         continue
-                    rgba = jnp.transpose(shaders[i].fragment(frag, d["uniforms"]), (2, 0, 1))
+
+                    def shade_full(cur):
+                        frag = build_frag(interp_vals)
+                        frag["tri_id"] = vis_local.tri_id
+                        frag["depth"] = vis_local.depth
+                        frag["bary"] = jnp.stack(
+                            [vis_i.b0, vis_i.b1, vis_i.b2], axis=-1
+                        )
+                        rgba = jnp.transpose(
+                            shaders[i].fragment(frag, d["uniforms"]), (2, 0, 1)
+                        )
+                        blended = _blend(rgba, cur, pipe.blend)
+                        return jnp.where(mask[None], blended, cur)
+
+                    from .ops import compact as cp
+
+                    if (
+                        pipe.shade_compact is not None
+                        and use_pallas
+                        and cp.eligible(erh, erw)
+                    ):
+                        # Covered-tile-compacted shading: per-pixel fragment
+                        # cost (incl. texture-tap gathers) scales with this
+                        # draw's coverage, not the framebuffer.  See
+                        # ops/compact.py for the design; a frame that
+                        # covers more tiles than the static budget runs
+                        # shade_full instead (cond, not select).
+                        nt = cp.num_tiles(erh, erw)
+                        budget = min(
+                            nt, max(8, -(-int(nt * pipe.shade_compact) // 8) * 8)
+                        )
+                        order, cov_count = cp.covered_tile_order(mask, erh, erw)
+                        sel = order[:budget]
+                        uni = d["uniforms"]
+                        fragment = shaders[i].fragment
+                        blend_state = pipe.blend
+
+                        def shade_tiles(cur, _iv=interp_vals):
+                            parts = [] if _iv is None else [_iv]
+                            parts.append(vis_local.depth[None])
+                            parts.append(jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2]))
+                            f32 = jnp.concatenate(parts, axis=0)
+                            cin = f32.shape[0]
+                            g_f = cp.gather_tiles(
+                                cp.tile_rows(f32, erh, erw), sel, cin
+                            )
+                            g_i = cp.gather_tiles(
+                                cp.tile_rows(vis_local.tri_id[None], erh, erw),
+                                sel,
+                                1,
+                            )[..., 0]
+                            frag_t = {}
+                            c0 = 0
+                            if _iv is not None:
+                                for k in sorted(var_tri):
+                                    c = var_tri[k].shape[-1]
+                                    frag_t[k] = g_f[..., c0 : c0 + c]
+                                    c0 += c
+                            frag_t["depth"] = g_f[..., c0]
+                            frag_t["bary"] = g_f[..., c0 + 1 : c0 + 4]
+                            frag_t["tri_id"] = g_i
+                            rgba_t = jax.vmap(lambda fr: fragment(fr, uni))(frag_t)
+                            rows_c = cp.tile_rows(cur, erh, erw)
+                            color_t = cp.gather_tiles(rows_c, sel, 4)
+                            blended_t = jax.vmap(
+                                lambda s_, c_: _blend(s_, c_, blend_state)
+                            )(
+                                jnp.transpose(rgba_t, (0, 3, 1, 2)),
+                                jnp.transpose(color_t, (0, 3, 1, 2)),
+                            )
+                            out_t = jnp.where(
+                                (g_i >= 0)[..., None],
+                                jnp.transpose(blended_t, (0, 2, 3, 1)),
+                                color_t,
+                            )
+                            new_rows = cp.scatter_tiles(rows_c, sel, out_t)
+                            return cp.untile_rows(new_rows, 4, erh, erw)
+
+                        color = jax.lax.cond(
+                            cov_count <= budget, shade_tiles, shade_full, color
+                        )
+                        continue
+
+                    color = shade_full(color)
+                    continue
                 else:
                     rgba = raster_xla.shade_deferred(
                         vis_local,

@@ -162,7 +162,7 @@ def upload_texture(
     device=None,
     wrap: str = "repeat",
     mipmaps: bool = False,
-    mip_filter: str = "nearest",
+    mip_filter: str = "linear",
 ) -> Texture:
     """Upload an image as a float32 texture (uint8 input is normalized).
 
@@ -174,9 +174,12 @@ def upload_texture(
         shift arithmetic at sample time — no per-pixel table lookups,
         which are pathologically slow on TPU).
       mip_filter: "nearest" | "linear" — VK_SAMPLER_MIPMAP_MODE analog.
-        A full-screen bilinear tap is one flat gather (~10 ms at 1080p —
-        the TPU gather floor), and "linear" (trilinear) doubles that, so
-        the default is the single-tap rounded-LOD filter.
+        Trilinear ("linear", the GPU-default quality tier) is the
+        default; each full-screen tap is one flat gather (~10 ms at 2M
+        pixels — the TPU gather floor) and trilinear takes two, so
+        pair textured draws with Pipeline.shade_compact to pay per
+        covered pixel, or opt down to the single-tap rounded-LOD
+        "nearest" filter.
     """
     if mip_filter not in ("nearest", "linear"):
         raise ValueError(f"bad mip_filter {mip_filter!r}")

@@ -136,14 +136,16 @@ def test_renderer_textured_cube_mipmapped():
 
 
 def test_mip_filter_nearest_single_tap():
-    """Default sampler state is nearest-mip: a high LOD taps the deepest
-    level (the texture's mean), a ~0 LOD taps level 0."""
+    """Opt-in nearest-mip sampler state: a high LOD taps the deepest
+    level (the texture's mean), a ~0 LOD taps level 0.  (The default is
+    "linear"/trilinear — the GPU-default quality tier.)"""
     import jax.numpy as jnp
     from based_renderer_tpu.ops import texture as tx
     from based_renderer_tpu.scene import upload_texture
 
     img = geometry.checkerboard_texture(64)
-    tex = upload_texture(img, mipmaps=True)  # mip_filter defaults nearest
+    assert upload_texture(img, mipmaps=True).mip_filter == "linear"  # default
+    tex = upload_texture(img, mipmaps=True, mip_filter="nearest")
     assert tex.mip_filter == "nearest"
     uv = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (8, 8, 2)), jnp.float32)
     deep = np.asarray(tx.sample_texture(tex, uv, lod=jnp.full((8, 8), 10.0)))
