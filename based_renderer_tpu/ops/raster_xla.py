@@ -132,6 +132,7 @@ def rasterize_vis(
     scissor=None,
     stencil=None,
     stencil_clear: int = 0,
+    msaa4: bool = False,
 ) -> VisBuffer:
     """Scan all triangles, exact edge tests at every pixel.
 
@@ -144,6 +145,16 @@ def rasterize_vis(
     ``stencil`` is an optional pipeline.StencilState; when given (and
     enabled) the returned VisBuffer carries a stencil plane, initialized
     to ``stencil_clear`` (or continued from ``init.stencil``).
+
+    ``msaa4``: coverage-sample MSAA-4x — every VisBuffer plane gains a
+    leading sample axis of 4.  Coverage and depth evaluate per sample
+    (edge values stepped by the per-triangle scalar A*ddx + B*ddy at the
+    standard positions; depth by (dzdx_q*ddx + dzdy_q*ddy) >> 4 per the
+    spec extension in ops/fixedpoint.py), barycentrics stay at the pixel
+    center.  Bit-identical to oracle.rasterize_msaa4 and to the Pallas
+    _raster_kernel_msaa4, so ``RendererConfig.msaa=4`` means the same
+    image on every backend.  Pass ``ts`` set up with
+    bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP.
     """
     cmp_fn = _DEPTH_CMP[depth_compare]
     py, px = jnp.mgrid[0:height, 0:width]
@@ -153,23 +164,21 @@ def rasterize_vis(
     # Canonical depth-anchor grid (spec: 128-px tiles).
     anchor_x = (px // fp.DEPTH_TILE) * fp.DEPTH_TILE
     anchor_y = (py // fp.DEPTH_TILE) * fp.DEPTH_TILE
+    nsamp = 4 if msaa4 else 1
+    offsets = fp.MSAA4_OFFSETS if msaa4 else ((0, 0),)
+    fbs = (nsamp, height, width) if msaa4 else (height, width)
 
     use_stencil = stencil is not None and stencil.enable
     if init is None:
         init = VisBuffer(
-            tri_id=jnp.full((height, width), -1, jnp.int32),
-            depth_q=jnp.full(
-                (height, width),
-                jnp.int32(round(depth_clear * fp.DEPTH_ONE_Q)),
-            ),
-            b0=jnp.zeros((height, width), jnp.float32),
-            b1=jnp.zeros((height, width), jnp.float32),
-            b2=jnp.zeros((height, width), jnp.float32),
+            tri_id=jnp.full(fbs, -1, jnp.int32),
+            depth_q=jnp.full(fbs, jnp.int32(round(depth_clear * fp.DEPTH_ONE_Q))),
+            b0=jnp.zeros(fbs, jnp.float32),
+            b1=jnp.zeros(fbs, jnp.float32),
+            b2=jnp.zeros(fbs, jnp.float32),
         )
     if use_stencil and init.stencil is None:
-        init = init._replace(
-            stencil=jnp.full((height, width), jnp.int32(stencil_clear & 0xFF))
-        )
+        init = init._replace(stencil=jnp.full(fbs, jnp.int32(stencil_clear & 0xFF)))
 
     num_tris = ts.valid.shape[0]
     if num_tris == 0:  # empty draw: tracing the loop body would index a
@@ -177,14 +186,14 @@ def rasterize_vis(
 
     def body(t, vis: VisBuffer) -> VisBuffer:
         valid = ts.valid[t]
-        covered = jnp.ones((height, width), jnp.bool_)
+        base_cov = jnp.ones((height, width), jnp.bool_)
+        e_pairs = []
         e_f = []
         for i in range(3):
             dx = px_fp - ts.xf[t, i]
             dy = py_fp - ts.yf[t, i]
             e = fp.i64_add(fp.i64_mul_i32(ts.a[t, i], dx), fp.i64_mul_i32(ts.b[t, i], dy))
-            inside = jnp.where(ts.bias[t, i] == 0, _i64_ge0(*e), _i64_gt0(*e))
-            covered = covered & inside
+            e_pairs.append(e)
             hi_adj = e[0] + (e[1] < 0).astype(jnp.int32)
             e_f.append(
                 hi_adj.astype(jnp.float32) * jnp.float32(4294967296.0)
@@ -192,11 +201,11 @@ def rasterize_vis(
             )
         # Scissor to the triangle's bbox (also enforces screen clamp).
         bb = ts.bbox[t]
-        covered = covered & (px >= bb[0]) & (px < bb[2]) & (py >= bb[1]) & (py < bb[3])
+        base_cov = base_cov & (px >= bb[0]) & (px < bb[2]) & (py >= bb[1]) & (py < bb[3])
         if scissor is not None:
             sx0, sy0, sx1, sy1 = scissor
-            covered = covered & (px >= sx0) & (px < sx1) & (py >= sy0) & (py < sy1)
-        covered = covered & valid
+            base_cov = base_cov & (px >= sx0) & (px < sx1) & (py >= sy0) & (py < sy1)
+        base_cov = base_cov & valid
 
         z_tile = depth_tile_anchor(
             ts.zq[t, 0],
@@ -208,33 +217,93 @@ def rasterize_vis(
             anchor_x,
             anchor_y,
         )
-        z = depth_at_pixel(
-            z_tile, ts.dzdx_q[t], ts.dzdy_q[t], ts.zshift[t], px - anchor_x, py - anchor_y
-        )
-        if depth_clip == "clamp":
-            z = jnp.clip(z, 0, fp.DEPTH_ONE_Q)
-        elif depth_clip:
-            covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
-        d_pass = cmp_fn(z, vis.depth_q) if depth_test else jnp.ones_like(covered)
-        if use_stencil:
-            s_pass = stencil_test(stencil, vis.stencil)
-            new_stencil = stencil_update(stencil, vis.stencil, covered, s_pass, d_pass)
-            passes = covered & s_pass & d_pass
-        else:
-            new_stencil = vis.stencil
-            passes = covered & d_pass
 
         inv_area = ts.inv_area[t]
         nb0 = e_f[1] * inv_area
         nb1 = e_f[2] * inv_area
         nb2 = e_f[0] * inv_area
+
+        def sample_pass(s, ddx, ddy, depth_s, stencil_s):
+            """Coverage + depth/stencil verdicts at one sample position."""
+            covered = base_cov
+            for i in range(3):
+                if ddx or ddy:
+                    # Per-triangle scalar offset: |A|,|B| < 2^19 and the
+                    # sample offsets are <= 6 subpixels, so i32 is exact.
+                    off = ts.a[t, i] * jnp.int32(ddx) + ts.b[t, i] * jnp.int32(ddy)
+                    e = fp.i64_add(e_pairs[i], fp.i64_from_i32(off))
+                else:
+                    e = e_pairs[i]
+                inside = jnp.where(ts.bias[t, i] == 0, _i64_ge0(*e), _i64_gt0(*e))
+                covered = covered & inside
+            # Per-sample depth: plane value stepped by the sample offset in
+            # quantized units BEFORE the range clamp (spec order; the i32
+            # step fits: |dz| <= DEPTH_GRAD_CLAMP * 6 * 2 / 16 < 2^21).
+            if ddx or ddy:
+                dz_s = jnp.right_shift(
+                    ts.dzdx_q[t] * jnp.int32(ddx) + ts.dzdy_q[t] * jnp.int32(ddy),
+                    4,
+                )
+            else:
+                dz_s = jnp.int32(0)
+            z = depth_at_pixel(
+                z_tile + dz_s,
+                ts.dzdx_q[t],
+                ts.dzdy_q[t],
+                ts.zshift[t],
+                px - anchor_x,
+                py - anchor_y,
+            )
+            if depth_clip == "clamp":
+                z = jnp.clip(z, 0, fp.DEPTH_ONE_Q)
+            elif depth_clip:
+                covered = covered & (z >= 0) & (z <= fp.DEPTH_ONE_Q)
+            d_pass = cmp_fn(z, depth_s) if depth_test else jnp.ones_like(covered)
+            if use_stencil:
+                s_pass = stencil_test(stencil, stencil_s)
+                new_stencil = stencil_update(stencil, stencil_s, covered, s_pass, d_pass)
+                passes = covered & s_pass & d_pass
+            else:
+                new_stencil = stencil_s
+                passes = covered & d_pass
+            return passes, z, new_stencil
+
+        if not msaa4:
+            passes, z, new_stencil = sample_pass(
+                0, 0, 0, vis.depth_q, vis.stencil
+            )
+            new_depth = jnp.where(passes, z, vis.depth_q) if depth_write else vis.depth_q
+            return VisBuffer(
+                tri_id=jnp.where(passes, t + jnp.int32(id_offset), vis.tri_id),
+                depth_q=new_depth,
+                b0=jnp.where(passes, nb0, vis.b0),
+                b1=jnp.where(passes, nb1, vis.b1),
+                b2=jnp.where(passes, nb2, vis.b2),
+                stencil=new_stencil,
+            )
+
+        outs = [
+            sample_pass(
+                s,
+                ddx,
+                ddy,
+                vis.depth_q[s],
+                None if vis.stencil is None else vis.stencil[s],
+            )
+            for s, (ddx, ddy) in enumerate(offsets)
+        ]
+        passes = jnp.stack([o[0] for o in outs])
+        z = jnp.stack([o[1] for o in outs])
+        new_stencil = (
+            jnp.stack([o[2] for o in outs]) if use_stencil else vis.stencil
+        )
         new_depth = jnp.where(passes, z, vis.depth_q) if depth_write else vis.depth_q
         return VisBuffer(
             tri_id=jnp.where(passes, t + jnp.int32(id_offset), vis.tri_id),
             depth_q=new_depth,
-            b0=jnp.where(passes, nb0, vis.b0),
-            b1=jnp.where(passes, nb1, vis.b1),
-            b2=jnp.where(passes, nb2, vis.b2),
+            b0=jnp.where(passes, nb0[None], vis.b0),
+            b1=jnp.where(passes, nb1[None], vis.b1),
+            b2=jnp.where(passes, nb2[None], vis.b2),
             stencil=new_stencil,
         )
 

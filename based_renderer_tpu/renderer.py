@@ -44,12 +44,16 @@ class RendererConfig:
 
     width: int = 800
     height: int = 600
-    # 1 or 4.  msaa=4 on the Pallas backend runs coverage-sample MSAA
-    # in-kernel (per-sample visibility at the Vulkan standard sample
-    # positions, attributes at the pixel center — the analog of the
-    # multisample state the reference configures, main.cpp:1790); the XLA
-    # backend approximates it with 2x2 ordered-grid supersampling.
+    # 1 or 4.  msaa=4 runs coverage-sample MSAA on EVERY backend
+    # (per-sample visibility at the Vulkan standard sample positions,
+    # attributes at the pixel center — the analog of the multisample
+    # state the reference configures, main.cpp:1790): in-kernel on
+    # Pallas, per-sample edge stepping on XLA — bit-identical images
+    # across backends.  Set msaa_supersample for 2x2 ordered-grid
+    # supersampling instead (a quality tier MSAA cannot express:
+    # per-sample SHADING).
     msaa: int = 1
+    msaa_supersample: bool = False
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)  # main.cpp clears to black
     clear_depth: float = 1.0
     debug: bool = False  # NaN/shape validation (the validation-layer analog)
@@ -444,13 +448,14 @@ class Renderer:
         cfg = self.config
         clear_depth_q = jnp.int32(round(clear_depth * fp.DEPTH_ONE_Q))
         use_pallas = self._use_pallas()
-        # MSAA-4x: the Pallas backend runs true coverage-sample multisampling
-        # in-kernel (per-sample visibility at the standard sample positions,
-        # attributes/shading once per pixel — see ops/raster_pallas.py
-        # _raster_kernel_msaa4); the XLA backend falls back to 2x2 ordered-
-        # grid supersampling with a box resolve.
-        coverage_msaa = cfg.msaa == 4 and use_pallas
-        scale = 2 if (cfg.msaa == 4 and not coverage_msaa) else 1
+        # MSAA-4x: true coverage-sample multisampling on both backends
+        # (per-sample visibility at the standard sample positions,
+        # attributes/shading once per pixel — ops/raster_pallas.py
+        # _raster_kernel_msaa4 / raster_xla.rasterize_vis msaa4=True,
+        # bit-identical to each other and the oracle); opt-in 2x2
+        # ordered-grid supersampling with a box resolve instead.
+        coverage_msaa = cfg.msaa == 4 and not cfg.msaa_supersample
+        scale = 2 if (cfg.msaa == 4 and cfg.msaa_supersample) else 1
         nsamp = 4 if coverage_msaa else 1
         rw, rh = cfg.width * scale, cfg.height * scale
         if shard is not None:
@@ -723,6 +728,7 @@ class Renderer:
                         scissor=kernel_scissor,
                         stencil=stencil_state,
                         stencil_clear=cfg.clear_stencil,
+                        msaa4=coverage_msaa,
                     )
                     vis = apply_shard_scissor(vis)
                 # Snapshot this draw's visibility state (free: jax arrays
@@ -777,6 +783,20 @@ class Renderer:
 
                     if coverage_msaa:
                         frag = build_frag(interp_vals)
+                        if interp_vals is None and var_tri:
+                            # XLA backend: per-sample varying interpolation
+                            # (pixel gathers — the portable path's cost
+                            # model; Pallas interpolates in-raster).
+                            frag.update(
+                                jax.vmap(
+                                    lambda vl: raster_xla.interpolate_varyings(
+                                        vl,
+                                        var_tri,
+                                        ts.inv_w,
+                                        pipe.perspective_correct,
+                                    )
+                                )(vis_local)
+                            )
                         frag["tri_id"] = vis_local.tri_id
                         frag["depth"] = vis_local.depth
                         frag["bary"] = jnp.stack(

@@ -16,6 +16,7 @@ import based_renderer_tpu as brt
 from based_renderer_tpu.models import demos
 from based_renderer_tpu.ops import fixedpoint as fp
 from based_renderer_tpu.ops.raster_pallas import rasterize_vis_pallas
+from based_renderer_tpu.ops.raster_xla import rasterize_vis as rasterize_xla_vis
 from based_renderer_tpu.ops.setup import setup_triangles
 from based_renderer_tpu.reference import oracle
 
@@ -45,6 +46,10 @@ def assert_msaa_identical(clip, depth_compare="less", tile=(32, 16)):
     ora = oracle.rasterize_msaa4(clip, W, H, depth_compare=depth_compare)
     np.testing.assert_array_equal(np.asarray(vp.tri_id), ora["tri_id"])
     np.testing.assert_array_equal(np.asarray(vp.depth_q), ora["depth_q"])
+    # XLA backend: the same per-sample spec, third implementation.
+    vx = rasterize_xla_vis(ts, W, H, depth_compare=depth_compare, msaa4=True)
+    np.testing.assert_array_equal(np.asarray(vx.tri_id), ora["tri_id"])
+    np.testing.assert_array_equal(np.asarray(vx.depth_q), ora["depth_q"])
     return ora
 
 
@@ -110,7 +115,9 @@ def test_renderer_msaa_coverage_antialiases():
     c4 = f4.color_np()
     assert np.asarray(f4.tri_id).shape == (4, 96, 128)
 
-    cfg_ss = brt.RendererConfig(width=128, height=96, msaa=4, raster_backend="xla")
+    cfg_ss = brt.RendererConfig(
+        width=128, height=96, msaa=4, msaa_supersample=True, raster_backend="xla"
+    )
     fss = brt.Renderer(cfg_ss).render_frame(pipe, mesh, uniforms(0.6))
     css = fss.color_np()
     # Different sample positions => slightly different edges, same image.
@@ -122,3 +129,40 @@ def test_renderer_msaa_coverage_antialiases():
     interior_max = c1[..., 0].max()
     n_interm = np.sum((c4[..., 0] > 0.02) & (c4[..., 0] < interior_max - 0.02))
     assert n_interm > 50  # antialiased edge gradient exists
+
+
+def test_renderer_msaa_cross_backend_identical():
+    """msaa=4 now means the same image on every backend: the XLA
+    coverage-MSAA render matches Pallas bit-exactly in per-sample
+    visibility and depth (color to f32 tolerance: shading orders ops
+    differently but inputs are identical)."""
+    pipe = mesh = uniforms = None
+    frames = {}
+    for backend in ("pallas", "xla"):
+        cfg = brt.RendererConfig(
+            width=128, height=96, msaa=4, raster_backend=backend
+        )
+        r = brt.Renderer(cfg)
+        pipe, mesh, uniforms, _ = demos.cube_demo(r)
+        frames[backend] = r.render_frame(pipe, mesh, uniforms(0.6))
+    np.testing.assert_array_equal(
+        np.asarray(frames["pallas"].tri_id), np.asarray(frames["xla"].tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frames["pallas"].depth_q), np.asarray(frames["xla"].depth_q)
+    )
+    np.testing.assert_allclose(
+        np.asarray(frames["pallas"].color_planar),
+        np.asarray(frames["xla"].color_planar),
+        atol=1e-5,
+    )
+
+
+def test_renderer_msaa_xla_textured():
+    """XLA coverage MSAA with varyings: per-sample interpolation path."""
+    cfg = brt.RendererConfig(width=128, height=96, msaa=4, raster_backend="xla")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.textured_cube_demo(r)
+    f = r.render_frame(pipe, mesh, uniforms(0.5))
+    c = f.color_np()
+    assert np.isfinite(c).all() and (np.asarray(f.tri_id) >= 0).any()
