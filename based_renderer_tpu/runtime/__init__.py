@@ -62,6 +62,16 @@ def _load():
         lib.brt_arena_create.restype = c.c_void_p
         lib.brt_arena_request.restype = c.c_int32
         lib.brt_arena_request.argtypes = [c.c_void_p, c.c_uint64, c.c_uint64]
+        lib.brt_arena_request_ex.restype = c.c_int32
+        lib.brt_arena_request_ex.argtypes = [
+            c.c_void_p,
+            c.c_uint64,
+            c.c_uint64,
+            c.c_int32,
+        ]
+        lib.brt_arena_set_dedicated_threshold.argtypes = [c.c_void_p, c.c_uint64]
+        lib.brt_arena_num_dedicated.restype = c.c_int32
+        lib.brt_arena_num_dedicated.argtypes = [c.c_void_p]
         lib.brt_arena_finalize.restype = c.c_int32
         lib.brt_arena_finalize.argtypes = [c.c_void_p]
         lib.brt_arena_ptr.restype = c.c_void_p
@@ -110,11 +120,21 @@ class Arena:
         self._h = self._lib.brt_arena_create()
         self._finalized = False
 
-    def request(self, size: int, alignment: int = 64) -> int:
-        idx = self._lib.brt_arena_request(self._h, size, alignment)
+    def request(self, size: int, alignment: int = 64, dedicated: bool = False) -> int:
+        """Request a buffer.  ``dedicated`` forces the request onto its
+        own backing block (the reference's vk::MemoryDedicatedAllocateInfo
+        path, main.cpp:379-398); requests >= the arena's dedicated
+        threshold (default 32 MiB) are promoted automatically."""
+        idx = self._lib.brt_arena_request_ex(
+            self._h, size, alignment, 1 if dedicated else 0
+        )
         if idx < 0:
             raise ValueError("bad arena request (finalized? non-pow2 alignment?)")
         return idx
+
+    def set_dedicated_threshold(self, bytes_: int):
+        """Auto-promotion size threshold; 0 disables auto-promotion."""
+        self._lib.brt_arena_set_dedicated_threshold(self._h, bytes_)
 
     def finalize(self):
         if self._lib.brt_arena_finalize(self._h) != 0:
@@ -137,6 +157,10 @@ class Arena:
     @property
     def num_groups(self) -> int:
         return self._lib.brt_arena_num_groups(self._h)
+
+    @property
+    def num_dedicated(self) -> int:
+        return self._lib.brt_arena_num_dedicated(self._h)
 
     def __del__(self):
         if getattr(self, "_h", None) and self._lib:

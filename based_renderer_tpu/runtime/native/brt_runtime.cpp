@@ -56,9 +56,22 @@ struct BrtArena {
     uint8_t* base = nullptr;
     size_t total = 0;
   };
+  // dedicated allocations: own backing block per request (the analog of
+  // the reference's vk::MemoryDedicatedAllocateInfo promotion of large /
+  // flagged resources, main.cpp:379-398, 448-467)
+  struct Dedicated {
+    size_t size;
+    size_t alignment;
+    uint32_t index;
+    uint8_t* base = nullptr;
+  };
   std::vector<Group> groups;
+  std::vector<Dedicated> dedicated;
   std::vector<uint8_t*> bound;  // per original request: final pointer
   bool finalized = false;
+  // Requests at/above this size are promoted to dedicated blocks even
+  // without the explicit flag (the reference promotes by size/flags).
+  size_t dedicated_threshold = (size_t)32 << 20;  // 32 MiB
 };
 
 static size_t align_forward(size_t v, size_t a) {
@@ -71,11 +84,23 @@ BrtArena* brt_arena_create() { return new BrtArena(); }
 
 // Request a buffer; returns its request index. Two-pass like the
 // reference: requests first, one backing allocation per group afterwards.
-int32_t brt_arena_request(BrtArena* a, uint64_t size, uint64_t alignment) {
+// ``dedicated`` forces the request onto its own backing block; large
+// requests (>= the arena's threshold) are promoted automatically, like
+// the reference's size/flag-based dedicated-allocation path.
+int32_t brt_arena_request_ex(BrtArena* a, uint64_t size, uint64_t alignment,
+                             int32_t dedicated) {
   if (a == nullptr || a->finalized || size == 0) return -1;
   if (alignment == 0 || (alignment & (alignment - 1)) != 0) return -1;
   uint32_t index = (uint32_t)a->bound.size();
   a->bound.push_back(nullptr);
+  if (dedicated != 0 || (size_t)size >= a->dedicated_threshold) {
+    BrtArena::Dedicated d;
+    d.size = size;
+    d.alignment = alignment;
+    d.index = index;
+    a->dedicated.push_back(d);
+    return (int32_t)index;
+  }
   for (auto& g : a->groups) {
     if (g.alignment == alignment) {
       g.sizes.push_back(size);
@@ -89,6 +114,16 @@ int32_t brt_arena_request(BrtArena* a, uint64_t size, uint64_t alignment) {
   g.indices.push_back(index);
   a->groups.push_back(std::move(g));
   return (int32_t)index;
+}
+
+int32_t brt_arena_request(BrtArena* a, uint64_t size, uint64_t alignment) {
+  return brt_arena_request_ex(a, size, alignment, 0);
+}
+
+void brt_arena_set_dedicated_threshold(BrtArena* a, uint64_t bytes) {
+  // 0 disables automatic promotion (explicit requests still honored).
+  if (a != nullptr && !a->finalized)
+    a->dedicated_threshold = bytes ? (size_t)bytes : (size_t)-1;
 }
 
 // Lay out and allocate: one aligned backing block per group.
@@ -109,6 +144,11 @@ int32_t brt_arena_finalize(BrtArena* a) {
       a->bound[g.indices[i]] = g.base + g.offsets[i];
     }
   }
+  for (auto& d : a->dedicated) {
+    d.base = (uint8_t*)aligned_alloc(d.alignment, align_forward(d.size, d.alignment));
+    if (d.base == nullptr) return -2;
+    a->bound[d.index] = d.base;
+  }
   a->finalized = true;
   return 0;
 }
@@ -123,6 +163,7 @@ uint64_t brt_arena_total_bytes(BrtArena* a) {
   if (a == nullptr) return 0;
   uint64_t t = 0;
   for (auto& g : a->groups) t += g.total;
+  for (auto& d : a->dedicated) t += d.size;
   return t;
 }
 
@@ -130,9 +171,14 @@ int32_t brt_arena_num_groups(BrtArena* a) {
   return a ? (int32_t)a->groups.size() : -1;
 }
 
+int32_t brt_arena_num_dedicated(BrtArena* a) {
+  return a ? (int32_t)a->dedicated.size() : -1;
+}
+
 void brt_arena_destroy(BrtArena* a) {
   if (a == nullptr) return;
   for (auto& g : a->groups) free(g.base);
+  for (auto& d : a->dedicated) free(d.base);
   delete a;
 }
 

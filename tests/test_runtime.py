@@ -33,6 +33,37 @@ def test_arena_batched_layout():
     assert a.total_bytes >= 1117
 
 
+def test_arena_dedicated_allocations():
+    """The vk::MemoryDedicatedAllocateInfo analog: explicit or
+    size-promoted requests get their own backing block instead of a slot
+    in an alignment group."""
+    a = runtime.Arena()
+    a.set_dedicated_threshold(1 << 20)  # 1 MiB for the test
+    i_small = a.request(100, alignment=64)
+    i_flag = a.request(200, alignment=64, dedicated=True)
+    i_big = a.request((1 << 20) + 5, alignment=64)  # auto-promoted
+    a.finalize()
+    assert a.num_groups == 1  # only the small request shares a group
+    assert a.num_dedicated == 2
+    vs = a.view(i_small, (100,))
+    vf = a.view(i_flag, (200,))
+    vb = a.view(i_big, ((1 << 20) + 5,))
+    vs[:] = 1
+    vf[:] = 2
+    vb[:] = 3
+    assert (vs == 1).all() and (vf == 2).all() and (vb == 3).all()
+    assert vf.ctypes.data % 64 == 0 and vb.ctypes.data % 64 == 0
+    assert a.total_bytes >= (1 << 20) + 305
+
+    # Threshold 0 disables auto-promotion; explicit still honored.
+    b = runtime.Arena()
+    b.set_dedicated_threshold(0)
+    b.request(64 << 20, alignment=64)
+    b.request(10, alignment=64, dedicated=True)
+    b.finalize()
+    assert b.num_groups == 1 and b.num_dedicated == 1
+
+
 def test_arena_rejects_bad_requests():
     a = runtime.Arena()
     with pytest.raises(ValueError):

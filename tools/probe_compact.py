@@ -77,7 +77,7 @@ def main():
             .transpose(1, 3, 2, 4, 0)
             .reshape(NT, TH * TW * 8)
         )
-        return c + jnp.sum(tiles[::97, ::53]), ()
+        return c + jnp.sum(tiles), ()
 
     report("A: planar(8,H,W) -> tile rows", timed_scan(a_body))
 
@@ -103,7 +103,7 @@ def main():
 
         def c_body(c, t, rows=rows, idx=idx):
             g = rows[(idx + t) % NT]
-            return c + jnp.sum(g[:, ::127]), ()
+            return c + jnp.sum(g), ()
 
         report(f"C: gather 512 tile rows (C={ccols})", timed_scan(c_body))
 
@@ -114,7 +114,7 @@ def main():
     def d_body(c, t):
         out = jnp.zeros((NT, TH * TW * 4), jnp.float32)
         out = out.at[(idx + t) % NT].set(shaded + c)
-        return c + jnp.sum(out[::97, ::53]), ()
+        return c + jnp.sum(out), ()
 
     report("D: scatter 512 tile rows", timed_scan(d_body))
 
@@ -128,7 +128,7 @@ def main():
             .transpose(4, 0, 2, 1, 3)
             .reshape(4, H, W)
         )
-        return c + jnp.sum(img[:, ::97, ::53]), ()
+        return c + jnp.sum(img), ()
 
     report("D2: tile rows -> planar(4,H,W)", timed_scan(d2_body))
 
@@ -139,7 +139,7 @@ def main():
 
         def e_body(c, t, uv=uv):
             g = tex[(uv + t) % (256 * 256)]
-            return c + jnp.sum(g[::127]), ()
+            return c + jnp.sum(g), ()
 
         report(f"E: flat tap gather {m // 1024}k px (16 cols)", timed_scan(e_body))
 

@@ -69,15 +69,15 @@ def main():
             clip, varyings = sh.vertex(attrs, u)
             clip_tri, var_tri = gather_triangles(clip, varyings, tri_idx)
             if depth == 0:
-                return carry + jnp.sum(clip_tri[::4097]), ()
+                return carry + jnp.sum(clip_tri), ()
             ts = setup_triangles(
                 clip_tri, W, H, cull_mode=pipe.cull_mode, front_face=pipe.front_face
             )
             if depth == 1:
                 return (
                     carry
-                    + jnp.sum(ts.bbox[::4097].astype(jnp.float32))
-                    + jnp.sum(ts.inv_w[::4097]),
+                    + jnp.sum(ts.bbox.astype(jnp.float32))
+                    + jnp.sum(ts.inv_w),
                     (),
                 )
             var_keys = sorted(var_tri)
@@ -97,8 +97,8 @@ def main():
             if depth == 2:
                 return (
                     carry
-                    + jnp.sum(binned.records[:4, ::4097].astype(jnp.float32))
-                    + jnp.sum(binned.frecords[:4, ::4097])
+                    + jnp.sum(binned.records[13].astype(jnp.float32))
+                    + jnp.sum(binned.frecords[0])
                     + jnp.sum(binned.tile_count.astype(jnp.float32)),
                     (),
                 )
@@ -116,8 +116,8 @@ def main():
             if depth == 3:
                 return (
                     carry
-                    + jnp.sum(vis.depth_q[::31, ::37].astype(jnp.float32))
-                    + jnp.sum(interp[:, ::31, ::37]),
+                    + jnp.sum(vis.depth_q.astype(jnp.float32))
+                    + jnp.sum(interp[0]),
                     (),
                 )
             denom = jnp.where(invw == 0, jnp.float32(1.0), invw)
@@ -134,7 +134,7 @@ def main():
             rgba = sh.fragment(frag, u)
             mask = (vis.tri_id >= 0)[..., None]
             color = jnp.where(mask, rgba, jnp.zeros_like(rgba))
-            return carry + jnp.sum(color[::31, ::37]), ()
+            return carry + jnp.sum(color), ()
 
         return body
 
