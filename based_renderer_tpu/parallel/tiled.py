@@ -226,12 +226,12 @@ class TiledRenderer:
 
     # -- program construction ------------------------------------------------
 
-    def _build_sharded_program(self, draws, clear_depth: float):
-        inner = self._inner
+    def _shard_context(self):
+        """The shard dict renderer._build_program consumes: traced global
+        origin, static local extent, optional geometry-axis slicing."""
         mesh = self.mesh
         lw, lh = self._lw, self._lh
         g_axis = self.geometry_axis
-        all_axes = tuple(mesh.axis_names)
 
         def origin_fn():
             return (
@@ -251,8 +251,21 @@ class TiledRenderer:
 
             geometry = (ng, lambda: jax.lax.axis_index(g_axis), merge_fn)
 
-        shard = {"origin_fn": origin_fn, "extent": (lw, lh), "geometry": geometry}
-        frame = inner._build_program(draws, clear_depth, jit=False, shard=shard)
+        return {"origin_fn": origin_fn, "extent": (lw, lh), "geometry": geometry}
+
+    def _replicate(self, *trees):
+        from jax.sharding import NamedSharding
+
+        repl = NamedSharding(self.mesh, P())
+        return tuple(jax.device_put(t, repl) for t in trees)
+
+    def _build_sharded_program(self, draws, clear_depth: float):
+        inner = self._inner
+        mesh = self.mesh
+        all_axes = tuple(mesh.axis_names)
+        frame = inner._build_program(
+            draws, clear_depth, jit=False, shard=self._shard_context()
+        )
 
         def shard_fn(dyn, clear_color):
             color, depth_q, tri_id, stencil, overflowed = frame(dyn, clear_color)
@@ -267,7 +280,11 @@ class TiledRenderer:
         # Visibility buffers may carry leading sample axes (coverage MSAA);
         # only the trailing (H, W) dims are sharded.
         use_stencil = any(d.pipeline.stencil.enable for d in draws)
-        vis_rank = 3 if (self.config.msaa == 4 and inner._use_pallas()) else 2
+        vis_rank = (
+            3
+            if (self.config.msaa == 4 and not self.config.msaa_supersample)
+            else 2
+        )
         vspec = P(*([None] * (vis_rank - 2) + ["y", "x"]))
         out_specs = (
             P(None, "y", "x"),  # planar color
@@ -287,11 +304,7 @@ class TiledRenderer:
         def program(dyn, clear_color):
             # Inputs were uploaded committed to one device; replicate them
             # onto the mesh (geometry slicing happens per shard by index).
-            from jax.sharding import NamedSharding
-
-            repl = NamedSharding(mesh, P())
-            dyn = jax.device_put(dyn, repl)
-            clear_color = jax.device_put(clear_color, repl)
+            dyn, clear_color = self._replicate(dyn, clear_color)
             color, depth_q, tri_id, stencil, overflowed = fn(dyn, clear_color)
             return (
                 color,
@@ -300,5 +313,152 @@ class TiledRenderer:
                 stencil if use_stencil else None,
                 overflowed,
             )
+
+        return program
+
+    # -- batched frame sequences --------------------------------------------
+
+    def render_sequence(
+        self,
+        pipeline,
+        scene_mesh,
+        uniforms_seq,
+        instances=None,
+        return_frames: bool = False,
+        num_frames: int | None = None,
+        static_uniforms=None,
+    ):
+        """N frames in ONE sharded dispatch (lax.scan inside shard_map) —
+        the same batched animation schedule as Renderer.render_sequence,
+        on the multi-chip path.  Returns (N,) global checksums (psum over
+        the mesh), plus sharded (N, 4, H, W) planar frames when
+        ``return_frames``."""
+        return self.render_sequence_multi(
+            [
+                {
+                    "pipeline": pipeline,
+                    "mesh": scene_mesh,
+                    "uniforms_seq": uniforms_seq,
+                    "instances": instances,
+                    "static_uniforms": static_uniforms,
+                }
+            ],
+            num_frames=num_frames,
+            return_frames=return_frames,
+        )
+
+    def render_sequence_multi(
+        self,
+        seq_draws,
+        *,
+        num_frames: int | None = None,
+        return_frames: bool = False,
+    ):
+        """Multi-draw sharded ``render_sequence`` (see Renderer's)."""
+        inner = self._inner
+        self.begin_frame()
+        for sd in seq_draws:
+            stat = sd.get("static_uniforms") or {}
+            u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
+            if isinstance(u0, dict):
+                u0 = {**stat, **u0}
+            self.draw(sd["pipeline"], sd["mesh"], u0, sd.get("instances"))
+        draws = inner._draws
+        inner._draws, inner._in_frame = [], False
+
+        key = (
+            "seq",
+            inner._cache_key(draws),
+            return_frames,
+            inner._frame_clear[1],
+            self.geometry_axis,
+        )
+        program = self._program_cache.get(key)
+        if program is None:
+            program = self._build_sharded_seq_program(
+                draws, inner._frame_clear[1], return_frames
+            )
+            self._program_cache[key] = program
+
+        dyn = inner._dynamic_args(draws)
+        n = num_frames
+        for i, sd in enumerate(seq_draws):
+            dyn[i]["uniforms_seq"] = jax.tree.map(
+                inner._uniform_leaf, sd["uniforms_seq"]
+            )
+            dyn[i]["static_uniforms"] = jax.tree.map(
+                inner._uniform_leaf, sd.get("static_uniforms") or {}
+            )
+            leaves = jax.tree.leaves(sd["uniforms_seq"])
+            if leaves:
+                n = leaves[0].shape[0]
+        if n is None:
+            from ..utils.errors import FrameError
+
+            raise FrameError(
+                "render_sequence needs num_frames when uniforms are empty"
+            )
+        dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
+        clear_color = jnp.asarray(inner._frame_clear[0], jnp.float32)
+        outs, overflowed = program(dyn, clear_color)
+        self.last_sequence_overflowed = overflowed
+        if self.config.debug and bool(overflowed):
+            from ..utils.errors import AllocationError
+
+            raise AllocationError(
+                "raster pair buffer overflow during render_sequence; raise "
+                "Pipeline.raster_pairs_factor"
+            )
+        return outs
+
+    def _build_sharded_seq_program(self, draws, clear_depth, return_frames):
+        inner = self._inner
+        mesh = self.mesh
+        all_axes = tuple(mesh.axis_names)
+        frame = inner._build_program(
+            draws, clear_depth, jit=False, shard=self._shard_context()
+        )
+
+        def shard_seq(dyn_seq, clear_color):
+            def body(carry, xs):
+                us, _ = xs
+                ds = []
+                for i, d0 in enumerate(dyn_seq):
+                    d = dict(d0)
+                    stat = d0["static_uniforms"]
+                    u = us[i]
+                    d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
+                    ds.append(d)
+                color, _dq, _tid, _st, of = frame(ds, clear_color)
+                # Global per-frame checksum: psum of the local shard sums
+                # over the screen axes (the g axis holds identical merged
+                # colors, so it is excluded from the sum).
+                csum = jax.lax.psum(jnp.sum(color), ("y", "x"))
+                out = (csum, color) if return_frames else csum
+                return carry | of, out
+
+            xs = (
+                tuple(d0["uniforms_seq"] for d0 in dyn_seq),
+                dyn_seq[0]["frame_ticks"],
+            )
+            overflowed, outs = jax.lax.scan(body, jnp.bool_(False), xs)
+            overflowed = jax.lax.pmax(overflowed.astype(jnp.int32), all_axes) > 0
+            return outs, overflowed
+
+        out_specs = (
+            (P(None), P(None, None, "y", "x")) if return_frames else P(None),
+            P(),
+        )
+        fn = jax.shard_map(
+            shard_seq,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+        def program(dyn, clear_color):
+            dyn, clear_color = self._replicate(dyn, clear_color)
+            return fn(dyn, clear_color)
 
         return program

@@ -279,3 +279,25 @@ def test_tiled_debug_validation():
     tr.draw(tiny, mesh, uniforms(0.2), inst)
     with pytest.raises(brt.errors.AllocationError):
         tr.end_frame()
+
+
+def test_tiled_render_sequence_matches():
+    """The sharded lax.scan schedule: global per-frame checksums and
+    sharded frames must match single-device render_sequence."""
+    import jax.numpy as jnp
+
+    cfg = brt.RendererConfig(width=W, height=H, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    times = [0.0, 0.5, 1.1]
+    useq = jax.tree.map(lambda *xs: jnp.stack(xs), *[uniforms(t) for t in times])
+    sums_s, frames_s = r.render_sequence(pipe, mesh, useq, return_frames=True)
+
+    tr = TiledRenderer(cfg, mesh_2d(2, 4))
+    sums_t, frames_t = tr.render_sequence(pipe, mesh, useq, return_frames=True)
+    np.testing.assert_allclose(
+        np.asarray(sums_t), np.asarray(sums_s), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(frames_t), np.asarray(frames_s), atol=1e-5
+    )
