@@ -61,8 +61,10 @@ def textured_cube_demo(r: Renderer):
         cull_mode="back",
         front_face="ccw",
         # Texture taps cost per shaded pixel (flat-gather floor), so pay
-        # per covered tile: the cube covers well under half the screen.
-        shade_compact=0.5,
+        # per covered tile: the compacted stream is budget-sized, so a
+        # ladder of budgets keeps the tap gather tight as the cube's
+        # coverage breathes with rotation (~20-30% of tiles).
+        shade_compact=(0.125, 0.25, 0.375, 0.5),
     )
     aspect = r.config.width / r.config.height
 

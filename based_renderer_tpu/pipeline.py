@@ -275,16 +275,18 @@ class Pipeline:
     # is ineligible.
     raster_sublane: bool = False
     # Covered-tile-compacted deferred shading (ops/compact.py): budget the
-    # fragment pass (and its texture-tap gathers) to this fraction of the
-    # framebuffer's (8, 128) tiles.  Tiles this draw covers are gathered
-    # into a dense stream, shaded, and scattered back, so per-pixel
-    # shading cost scales with coverage instead of resolution — the
-    # full-screen texture tap alone is ~9.5 ms at 2M pixels.  If a frame
-    # covers more tiles than budgeted, the full-screen pass runs instead
-    # (lax.cond — both compiled, one executed).  None = always
-    # full-screen.  Pallas-backend draws only; ignored with coverage
-    # MSAA or when the framebuffer doesn't tile by (8, 128).
-    shade_compact: float | None = None
+    # fragment pass (and its texture-tap gathers) to a fraction — or a
+    # LADDER of fractions — of the framebuffer's (8, 128) tiles.  Tiles
+    # this draw covers are gathered into a dense stream, shaded, and
+    # scattered back, so per-pixel shading cost scales with coverage
+    # instead of resolution — the full-screen texture tap alone is
+    # ~10 ms at 2M pixels.  The compacted stream is budget-sized (static
+    # shapes), so with a tuple a lax.cond chain picks the tightest tier
+    # the frame's covered-tile count fits; past the largest tier the
+    # full-screen pass runs.  None = always full-screen.  Pallas-backend
+    # draws only; ignored with coverage MSAA or when the framebuffer
+    # doesn't tile by (8, 128).
+    shade_compact: float | tuple | None = None
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.
@@ -302,7 +304,15 @@ class Pipeline:
             raise ValueError(f"raster_batch must divide 128, got {self.raster_batch}")
         if self.raster_unroll < 1 or 128 % self.raster_unroll:
             raise ValueError(f"raster_unroll must divide 128, got {self.raster_unroll}")
-        if self.shade_compact is not None and not 0.0 < self.shade_compact <= 1.0:
-            raise ValueError(
-                f"shade_compact must be in (0, 1], got {self.shade_compact}"
+        if self.shade_compact is not None:
+            fracs = (
+                self.shade_compact
+                if isinstance(self.shade_compact, tuple)
+                else (self.shade_compact,)
             )
+            if not fracs or not all(
+                isinstance(f, (int, float)) and 0.0 < f <= 1.0 for f in fracs
+            ):
+                raise ValueError(
+                    f"shade_compact fractions must be in (0, 1], got {self.shade_compact}"
+                )

@@ -834,20 +834,32 @@ class Renderer:
                         # Covered-tile-compacted shading: per-pixel fragment
                         # cost (incl. texture-tap gathers) scales with this
                         # draw's coverage, not the framebuffer.  See
-                        # ops/compact.py for the design; a frame that
-                        # covers more tiles than the static budget runs
-                        # shade_full instead (cond, not select).
+                        # ops/compact.py for the design.  The compacted
+                        # stream is BUDGET-sized (static shapes), so the
+                        # knob is a ladder of budgets: a lax.cond chain
+                        # picks the tightest tier the frame's covered-tile
+                        # count fits, falling back to full-screen shading
+                        # past the largest (cond, not select — one tier's
+                        # cost per frame).
                         nt = cp.num_tiles(erh, erw)
-                        budget = min(
-                            nt, max(8, -(-int(nt * pipe.shade_compact) // 8) * 8)
+                        fracs = (
+                            pipe.shade_compact
+                            if isinstance(pipe.shade_compact, tuple)
+                            else (pipe.shade_compact,)
+                        )
+                        budgets = sorted(
+                            {
+                                min(nt, max(8, -(-int(nt * f) // 8) * 8))
+                                for f in fracs
+                            }
                         )
                         order, cov_count = cp.covered_tile_order(mask, erh, erw)
-                        sel = order[:budget]
                         uni = d["uniforms"]
                         fragment = shaders[i].fragment
                         blend_state = pipe.blend
 
-                        def shade_tiles(cur, _iv=interp_vals):
+                        def shade_tiles(cur, budget, _iv=interp_vals):
+                            sel = order[:budget]
                             parts = [] if _iv is None else [_iv]
                             parts.append(vis_local.depth[None])
                             parts.append(jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2]))
@@ -888,9 +900,17 @@ class Renderer:
                             new_rows = cp.scatter_tiles(rows_c, sel, out_t)
                             return cp.untile_rows(new_rows, 4, erh, erw)
 
-                        color = jax.lax.cond(
-                            cov_count <= budget, shade_tiles, shade_full, color
-                        )
+                        branch = shade_full
+                        for b in reversed(budgets):
+                            def branch(cur, _b=b, _next=branch):
+                                return jax.lax.cond(
+                                    cov_count <= _b,
+                                    lambda c: shade_tiles(c, _b),
+                                    _next,
+                                    cur,
+                                )
+
+                        color = branch(color)
                         continue
 
                     color = shade_full(color)

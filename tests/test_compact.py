@@ -122,3 +122,24 @@ def test_bad_budget_rejected():
         Pipeline(shade_compact=1.5)
     with pytest.raises(ValueError, match="shade_compact"):
         Pipeline(shade_compact=0.0)
+
+
+def test_compact_budget_ladder():
+    """A ladder of budgets renders identically to full-screen (each tier
+    and the fallback), and a single float stays supported."""
+    r = brt.Renderer(cfg())
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    u = uniforms(0.5)
+    base = r.render_frame(pipe, mesh, u)
+    lpipe = dataclasses.replace(pipe, shade_compact=(0.1, 0.4, 0.9))
+    got = brt.Renderer(cfg()).render_frame(lpipe, mesh, u)
+    np.testing.assert_array_equal(
+        np.asarray(got.color_planar), np.asarray(base.color_planar)
+    )
+
+
+def test_bad_ladder_rejected():
+    with pytest.raises(ValueError, match="shade_compact"):
+        Pipeline(shade_compact=(0.5, 1.5))
+    with pytest.raises(ValueError, match="shade_compact"):
+        Pipeline(shade_compact=())
