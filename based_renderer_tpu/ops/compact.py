@@ -48,26 +48,29 @@ def num_tiles(h: int, w: int) -> int:
 
 
 def tile_rows(planes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """(C, H, W) planar -> (NT, TILE_H * TILE_W * C) tile rows.
+    """(C, H, W) planar -> (NT, C * TILE_H * TILE_W) tile rows.
 
-    Channel-minor within the row so a gathered row unpacks to a
-    (TILE_H, TILE_W, C) micro-framebuffer with one reshape.
+    Channel-MAJOR within the row: the relayout permutes only non-minor
+    dims (the 128-lane minor stays put), which is 5x faster on TPU than
+    the channel-minor variant (whose lane dim collapses to C — measured
+    1.58 vs 0.31 ms for 9 channels at 1080p).  A gathered row unpacks to
+    a (C, TILE_H, TILE_W) planar micro-framebuffer with one reshape.
     """
     c = planes.shape[0]
     nty, ntx = h // TILE_H, w // TILE_W
     return (
         planes.reshape(c, nty, TILE_H, ntx, TILE_W)
-        .transpose(1, 3, 2, 4, 0)
-        .reshape(nty * ntx, TILE_H * TILE_W * c)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(nty * ntx, c * TILE_H * TILE_W)
     )
 
 
 def untile_rows(rows: jnp.ndarray, c: int, h: int, w: int) -> jnp.ndarray:
-    """(NT, TILE_H * TILE_W * C) tile rows -> (C, H, W) planar."""
+    """(NT, C * TILE_H * TILE_W) tile rows -> (C, H, W) planar."""
     nty, ntx = h // TILE_H, w // TILE_W
     return (
-        rows.reshape(nty, ntx, TILE_H, TILE_W, c)
-        .transpose(4, 0, 2, 1, 3)
+        rows.reshape(nty, ntx, c, TILE_H, TILE_W)
+        .transpose(2, 0, 3, 1, 4)
         .reshape(c, h, w)
     )
 
@@ -87,14 +90,14 @@ def covered_tile_order(mask: jnp.ndarray, h: int, w: int):
 
 
 def gather_tiles(rows: jnp.ndarray, sel: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Gather selected tile rows -> (B, TILE_H, TILE_W, C)."""
-    return rows[sel].reshape(sel.shape[0], TILE_H, TILE_W, c)
+    """Gather selected tile rows -> (B, C, TILE_H, TILE_W) planar."""
+    return rows[sel].reshape(sel.shape[0], c, TILE_H, TILE_W)
 
 
 def scatter_tiles(
     rows: jnp.ndarray, sel: jnp.ndarray, tiles: jnp.ndarray
 ) -> jnp.ndarray:
-    """Scatter (B, TILE_H, TILE_W, C) tiles back into tile rows.
+    """Scatter (B, C, TILE_H, TILE_W) planar tiles back into tile rows.
 
     ``sel`` entries are unique (covered_tile_order output), so plain
     set-scatter semantics apply.

@@ -858,13 +858,22 @@ class Renderer:
                         fragment = shaders[i].fragment
                         blend_state = pipe.blend
 
-                        def shade_tiles(cur, budget, _iv=interp_vals):
+                        # Gather RAW interpolators and divide by 1/w on the
+                        # compacted tiles (elementwise, so gather-then-divide
+                        # is bitwise equal to divide-then-gather — and skips
+                        # a full-screen divide + materialization).
+                        persp_div = interp is not None and pipe.perspective_correct
+
+                        def shade_tiles(cur, budget):
                             sel = order[:budget]
-                            parts = [] if _iv is None else [_iv]
+                            parts = [] if interp is None else [interp]
+                            if persp_div:
+                                parts.append(invw[None])
                             parts.append(vis_local.depth[None])
                             parts.append(jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2]))
                             f32 = jnp.concatenate(parts, axis=0)
                             cin = f32.shape[0]
+                            # (B, C, 8, 128) planar micro-framebuffers.
                             g_f = cp.gather_tiles(
                                 cp.tile_rows(f32, erh, erw), sel, cin
                             )
@@ -872,30 +881,37 @@ class Renderer:
                                 cp.tile_rows(vis_local.tri_id[None], erh, erw),
                                 sel,
                                 1,
-                            )[..., 0]
+                            )[:, 0]
                             frag_t = {}
                             c0 = 0
-                            if _iv is not None:
+                            if interp is not None:
+                                nvar = interp.shape[0]
+                                vals = g_f[:, :nvar]
+                                if persp_div:
+                                    denom = g_f[:, nvar : nvar + 1]
+                                    vals = vals / jnp.where(
+                                        denom == 0, jnp.float32(1.0), denom
+                                    )
                                 for k in sorted(var_tri):
                                     c = var_tri[k].shape[-1]
-                                    frag_t[k] = g_f[..., c0 : c0 + c]
+                                    frag_t[k] = jnp.moveaxis(
+                                        vals[:, c0 : c0 + c], 1, -1
+                                    )
                                     c0 += c
-                            frag_t["depth"] = g_f[..., c0]
-                            frag_t["bary"] = g_f[..., c0 + 1 : c0 + 4]
+                                c0 += 1 if persp_div else 0
+                            frag_t["depth"] = g_f[:, c0]
+                            frag_t["bary"] = jnp.moveaxis(
+                                g_f[:, c0 + 1 : c0 + 4], 1, -1
+                            )
                             frag_t["tri_id"] = g_i
                             rgba_t = jax.vmap(lambda fr: fragment(fr, uni))(frag_t)
                             rows_c = cp.tile_rows(cur, erh, erw)
                             color_t = cp.gather_tiles(rows_c, sel, 4)
                             blended_t = jax.vmap(
                                 lambda s_, c_: _blend(s_, c_, blend_state)
-                            )(
-                                jnp.transpose(rgba_t, (0, 3, 1, 2)),
-                                jnp.transpose(color_t, (0, 3, 1, 2)),
-                            )
+                            )(jnp.transpose(rgba_t, (0, 3, 1, 2)), color_t)
                             out_t = jnp.where(
-                                (g_i >= 0)[..., None],
-                                jnp.transpose(blended_t, (0, 2, 3, 1)),
-                                color_t,
+                                (g_i >= 0)[:, None], blended_t, color_t
                             )
                             new_rows = cp.scatter_tiles(rows_c, sel, out_t)
                             return cp.untile_rows(new_rows, 4, erh, erw)

@@ -30,19 +30,15 @@ def test_tile_layout_roundtrip():
     assert rows.shape == (cp.num_tiles(H, W), cp.TILE_H * cp.TILE_W * 5)
     back = cp.untile_rows(rows, 5, H, W)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(planes))
-    # A gathered row really is that tile, channel-minor.
+    # A gathered row really is that tile, channel-major (planar).
     t = cp.gather_tiles(rows, jnp.asarray([7], jnp.int32), 5)[0]
     nty, ntx = H // cp.TILE_H, W // cp.TILE_W
     ty, tx = 7 // ntx, 7 % ntx
-    ref = np.moveaxis(
-        np.asarray(planes)[
-            :,
-            ty * cp.TILE_H : (ty + 1) * cp.TILE_H,
-            tx * cp.TILE_W : (tx + 1) * cp.TILE_W,
-        ],
-        0,
-        -1,
-    )
+    ref = np.asarray(planes)[
+        :,
+        ty * cp.TILE_H : (ty + 1) * cp.TILE_H,
+        tx * cp.TILE_W : (tx + 1) * cp.TILE_W,
+    ]
     np.testing.assert_array_equal(np.asarray(t), ref)
 
 
