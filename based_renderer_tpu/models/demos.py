@@ -134,9 +134,15 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         cull_mode="back",
         front_face="ccw",
         # The procedural mesh is fully in front of the camera and its
-        # triangles are tiny: skip the clipper and budget ~1.5 pairs/tri.
+        # triangles are tiny: skip the clipper.  Back-face culling kills
+        # ~48% of triangles and live pairs measure ~0.52-0.55/tri over the
+        # spin (tools/probe_earlyz.py), so budget a small extras stream
+        # (multi-tile triangles are rare) and slice the sorted stream at
+        # 0.7 slots/tri — the binner's gather + assembly then run over
+        # ~half the slots.  Overflow is surfaced if a view ever exceeds it.
         near_clip=False,
-        raster_pairs_factor=1.5,
+        raster_pairs_factor=1.15,
+        raster_slots_factor=0.7,
         # 1M-record scenes are kernel- and binner-bound: sublane-parallel
         # raster kernel on short tiles.
         raster_sublane=True,

@@ -188,6 +188,7 @@ def bin_triangles(
     perspective: bool = True,
     msaa4: bool = False,
     origin=(0, 0),
+    slots: int | None = None,
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -299,7 +300,22 @@ def bin_triangles(
     tile_id_sorted, t_slot = jax.lax.sort(
         [tile_id_all, tri_all], num_keys=2, is_stable=False
     )
-    max_pairs = num_tris + extra_budget  # actual padded stream length
+    max_pairs = num_tris + extra_budget  # full expansion stream length
+    if slots is not None and slots < max_pairs:
+        # The sort puts dead slots (culled / offscreen triangles, tile ==
+        # sentinel) at the tail, so a static slice keeps every LIVE pair
+        # as long as the budget holds — the template gather and record
+        # assembly below then run over ~live pairs instead of the full
+        # expansion stream (on back-face-culled meshes ~half the slots
+        # are dead).  A breached budget is surfaced like the expansion
+        # overflow.
+        slots = max(-(-slots // SEGMENT_ALIGN) * SEGMENT_ALIGN, SEGMENT_ALIGN)
+        if slots < max_pairs:
+            tile_id_sorted = tile_id_sorted[:slots]
+            t_slot = t_slot[:slots]
+            overflowed = overflowed | (true_pairs > slots)
+            total = jnp.minimum(total, slots)
+            max_pairs = slots
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)

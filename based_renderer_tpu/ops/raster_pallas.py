@@ -1262,6 +1262,7 @@ def _raster_kernel_msaa4(
         "depth_clip",
         "depth_clear",
         "max_pairs",
+        "slots",
         "interpret",
         "perspective",
         "scissor",
@@ -1288,6 +1289,7 @@ def rasterize_vis_pallas(
     depth_clip: bool = True,
     depth_clear: float = 1.0,
     max_pairs: int | None = None,
+    slots: int | None = None,
     interpret: bool = False,
     init: VisBuffer | None = None,
     id_offset: int = 0,
@@ -1340,6 +1342,7 @@ def rasterize_vis_pallas(
         perspective=perspective,
         msaa4=msaa4,
         origin=origin,
+        slots=slots,
     )
     out = rasterize_binned(
         binned,

@@ -229,6 +229,16 @@ class Pipeline:
     # overflowed for sequences); RendererConfig.debug mode raises
     # AllocationError instead.
     raster_pairs_factor: float = 4.0
+    # Post-sort assembled-slot budget as a fraction of the draw's triangle
+    # count, or None to keep every expansion slot (= raster_pairs_factor).
+    # The pair sort compacts culled/offscreen triangles' slots to the tail
+    # of the stream, so slicing the sorted stream to a static budget lets
+    # the binner's template gather + record assembly (its two biggest
+    # costs) run over ~live pairs instead of the full expansion stream —
+    # on back-face-culled dense meshes roughly HALF the slots are dead.
+    # Exceeding the budget sets the same overflow surface as
+    # raster_pairs_factor (warn / AllocationError in debug).
+    raster_slots_factor: float | None = None
     # Optional scissor rect (x0, y0, x1, y1), x1/y1 exclusive; None = full
     # framebuffer (the reference bakes a full-extent static scissor,
     # main.cpp:1764-1775).
@@ -304,6 +314,10 @@ class Pipeline:
             raise ValueError(f"raster_batch must divide 128, got {self.raster_batch}")
         if self.raster_unroll < 1 or 128 % self.raster_unroll:
             raise ValueError(f"raster_unroll must divide 128, got {self.raster_unroll}")
+        if self.raster_slots_factor is not None and self.raster_slots_factor <= 0:
+            raise ValueError(
+                f"raster_slots_factor must be positive, got {self.raster_slots_factor}"
+            )
         if self.shade_compact is not None:
             fracs = (
                 self.shade_compact

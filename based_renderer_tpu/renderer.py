@@ -677,6 +677,11 @@ class Renderer:
                         depth_clip=depth_clip_mode,
                         depth_clear=clear_depth,
                         max_pairs=max(int(num_t * pipe.raster_pairs_factor), 1024),
+                        slots=(
+                            None
+                            if pipe.raster_slots_factor is None
+                            else max(int(num_t * pipe.raster_slots_factor), 1024)
+                        ),
                         init=None if i == 0 else vis,
                         id_offset=draw_id_offset,
                         origin=raster_origin,

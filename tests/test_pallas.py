@@ -378,3 +378,49 @@ def test_sublane_overflow_flag():
         max_pairs=128, return_overflow=True,
     )
     assert bool(of)  # 64 spanning tris overflow a 128-pair budget
+
+
+def test_slots_budget_identical_when_ample():
+    """Slicing the sorted stream at an ample static budget is invisible:
+    dead (culled/offscreen) slots sort to the tail, so every live pair
+    survives and the render is bit-identical to the unsliced one."""
+    clip = random_clip(31, 48)
+    # Make some triangles dead so the tail is non-trivial: push a third
+    # of them behind a cull via degenerate winding (swap two vertices).
+    clip[::3] = clip[::3][:, [1, 0, 2]]
+    W, H = 128, 64
+    ts = setup_triangles(jnp.asarray(clip), W, H, cull_mode="back", front_face="ccw")
+    base = rasterize_vis_pallas(ts, W, H, interpret=True)
+    for slots in (256, 384):
+        got, of = rasterize_vis_pallas(
+            ts, W, H, interpret=True, slots=slots, return_overflow=True
+        )
+        assert not bool(of)
+        np.testing.assert_array_equal(np.asarray(base.tri_id), np.asarray(got.tri_id))
+        np.testing.assert_array_equal(np.asarray(base.depth_q), np.asarray(got.depth_q))
+
+
+def test_slots_budget_overflow_flag():
+    clip = random_clip(32, 200)
+    W, H = 128, 64
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    _, of = rasterize_vis_pallas(
+        ts, W, H, interpret=True, slots=64, return_overflow=True
+    )
+    assert bool(of)  # 200 live tris cannot fit 64 (rounded to 128) slots
+
+
+def test_slots_factor_through_renderer():
+    """The pipeline knob renders identically to the unbudgeted pipeline."""
+    import dataclasses
+
+    r = brt.Renderer(brt.RendererConfig(width=128, height=64, raster_backend="pallas"))
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    u = uniforms(0.3)
+    base = r.render_frame(pipe, mesh, u)
+    spipe = dataclasses.replace(pipe, raster_slots_factor=40.0)  # 12 tris -> ample
+    got = brt.Renderer(
+        brt.RendererConfig(width=128, height=64, raster_backend="pallas")
+    ).render_frame(spipe, mesh, u)
+    np.testing.assert_array_equal(np.asarray(base.color_planar), np.asarray(got.color_planar))
+    np.testing.assert_array_equal(np.asarray(base.tri_id), np.asarray(got.tri_id))

@@ -95,12 +95,15 @@ def main():
                 perspective=True,
             )
             if depth == 2:
-                return (
-                    carry
-                    + jnp.sum(binned.records[13].astype(jnp.float32))
-                    + jnp.sum(binned.frecords[0])
-                    + jnp.sum(binned.tile_count.astype(jnp.float32)),
-                    (),
+                # Feed the REAL kernel but with zeroed tile counts: the
+                # binner's outputs get their production layout (a bare
+                # jnp.sum checksum lets XLA pick a pathological layout for
+                # the record stack — measured 202 ms for a "bin-only"
+                # prefix vs 85 ms for the full pipeline), and the kernel
+                # does only its per-tile fixed work.  prefix3 - prefix2 is
+                # then the kernel's record-processing cost.
+                binned = binned._replace(
+                    tile_count=jnp.zeros_like(binned.tile_count)
                 )
             out = rasterize_binned(
                 binned,
@@ -113,7 +116,7 @@ def main():
                 sublane=True,
             )
             vis, interp, invw = out
-            if depth == 3:
+            if depth in (2, 3):
                 return (
                     carry
                     + jnp.sum(vis.depth_q.astype(jnp.float32))
@@ -158,7 +161,7 @@ def main():
         a, b = run(n1), run(n2)
         return (b - a) / (n2 - n1)
 
-    names = ["vertex+gather", "+setup", "+bin", "+raster(sublane)", "+shade"]
+    names = ["vertex+gather", "+setup", "+bin(zero-count raster)", "+raster(sublane)", "+shade"]
     prev = 0.0
     for d, name in enumerate(names):
         dt = timed(d)
