@@ -189,6 +189,8 @@ def bin_triangles(
     msaa4: bool = False,
     origin=(0, 0),
     slots: int | None = None,
+    assemble: str = "xla",
+    interpret: bool = False,
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -281,9 +283,18 @@ def bin_triangles(
     e_table = jnp.stack(
         [eoffsets[:-1], jnp.maximum(bw, 1), x0, y0, tri_ids], axis=1
     )
-    eexp = jnp.repeat(e_table, ke, axis=0, total_repeat_length=extra_budget)
-    eT = jax.lax.optimization_barrier(eexp.T)
     extra_idx = jnp.arange(extra_budget, dtype=jnp.int32)
+    # Variable-length expansion WITHOUT jnp.repeat: repeat lowers to a
+    # scatter-add over the full triangle table plus a cumsum (measured
+    # ~11 ms of the binner at 1M triangles), while the owning triangle of
+    # each extra slot is just searchsorted(offsets, slot) — and the 'sort'
+    # method turns that into ONE extra lax.sort of (tris + extras) rows
+    # (~2 ms) followed by the same narrow row gather.
+    t_of_e = jnp.searchsorted(
+        eoffsets[1:], extra_idx, side="right", method="sort"
+    ).astype(jnp.int32)
+    eexp = e_table[jnp.minimum(t_of_e, jnp.int32(num_tris - 1))]
+    eT = jax.lax.optimization_barrier(eexp.T)
     e_in_range = extra_idx < total_extra
     seq = extra_idx - eT[0] + 1  # skip the first tile (row-major order)
     bw_t = eT[1]
@@ -332,6 +343,8 @@ def bin_triangles(
     slot_tile = jnp.clip(tile_id_sorted, 0, num_tiles - 1)
     s_tile_x = slot_tile % num_tx
     s_tile_y = slot_tile // num_tx
+    ox = s_tile_x * tile_w + origin_x  # tile-origin pixel (global coords)
+    oy = s_tile_y * tile_h + origin_y
 
     # ---- per-slot record assembly from the templates ---------------------
     ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
@@ -359,6 +372,41 @@ def bin_triangles(
     # (measured: the column reads were ~50 ms of the binner), while row
     # reads of the transposed copy are contiguous.
     fused = jax.lax.optimization_barrier(fused)
+
+    if assemble == "pallas" and pad_to <= 128:
+        # Fused transpose + re-anchoring assembly in one streaming Pallas
+        # pass (ops/binassem.py) — bit-identical to the XLA assembly
+        # below, minus its full-footprint (P, 64) -> (64, P) transpose and
+        # ~30 column extraction passes (measured ~34 ms of the binner at
+        # 1.5M pairs).  The tail pad slots become invalid records instead
+        # of zeros (strictly safer: impossible edges vs. covering ones).
+        from . import binassem
+
+        assert n_ti == binassem.N_TI
+        nch_ = 0 if channels is None else channels.shape[-1]
+        p_pad = -(-(max_pairs + SEGMENT_ALIGN) // 128) * 128
+        pad_n = p_pad - max_pairs
+        gath = fused[jnp.pad(t_slot, (0, pad_n))]
+        records, frecords = binassem.assemble_records(
+            gath,
+            jnp.pad(ox, (0, pad_n)),
+            jnp.pad(oy, (0, pad_n)),
+            total,
+            nch=nch_,
+            msaa4=msaa4,
+            rw=rw_rec,
+            fw=fw,
+            interpret=interpret,
+        )
+        return BinnedTriangles(
+            records=records,
+            frecords=frecords,
+            tile_start=tile_start,
+            tile_count=count,
+            num_pairs=true_pairs,
+            overflowed=overflowed,
+        )
+
     fused_sT = jax.lax.optimization_barrier(fused[t_slot].T)
 
     def ti_col(j):
@@ -367,8 +415,6 @@ def bin_triangles(
     def tf_col(j):
         return jax.lax.bitcast_convert_type(fused_sT[n_ti + j], jnp.float32)
 
-    ox = s_tile_x * tile_w + origin_x  # tile-origin pixel (global coords)
-    oy = s_tile_y * tile_h + origin_y
     ox16 = ox * jnp.int32(fp.SUBPIXEL_SCALE)
     oy16 = oy * jnp.int32(fp.SUBPIXEL_SCALE)
 

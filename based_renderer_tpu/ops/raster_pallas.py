@@ -738,14 +738,20 @@ def _raster_kernel_sublane(
     VMEM and processes records in groups of EIGHT on the sublane axis —
     all coefficients arrive as (8, 1) vector loads and broadcast along
     lanes.  Each group evaluates its 8 records over one 128-pixel tile
-    row per step (records x pixels on the VPU's native 8x128 registers),
-    then a cross-sublane masked extremum picks the per-pixel group winner
-    with the sequential tie semantics (first record wins ties under
-    strict compares, last under the *_equal compares), and an order-aware
-    merge folds the group into the tile's (depth, winner-index) state.
-    Like the batched kernel this is exact for order-independent depth
-    modes: depth test+write with an ordered compare, where the final
-    buffer is a pure per-pixel reduction (proof in _raster_kernel_batched).
+    row per step (records x pixels on the VPU's native 8x128 registers)
+    and folds them into per-SUBLANE-SLOT (depth, record-index)
+    accumulators — sublane slot s of row y holds the best record with
+    index ≡ s (mod 8) seen so far for that row.  No cross-sublane work
+    happens in the hot loop; one masked cross-sublane extremum per row
+    at tile finalize picks the overall winner.  Tie semantics are exact:
+    within a slot, record indices arrive in increasing order, so the
+    strictness of the depth compare itself keeps the first (strict) or
+    last (*_equal) record of equal depth; across slots the finalize
+    reduction breaks depth ties by record index (min under strict
+    compares, max under *_equal).  Like the batched kernel this is exact
+    for order-independent depth modes: depth test+write with an ordered
+    compare, where the final buffer is a pure per-pixel reduction (proof
+    in _raster_kernel_batched).
 
     Pass 2 (attribute fetch) recovers every float attribute of each
     pixel's winning record with one one-hot matmul per (row, chunk):
@@ -766,11 +772,11 @@ def _raster_kernel_sublane(
     less_family = depth_compare.startswith("less")
     sent = jnp.int32(2**31 - 1) if less_family else jnp.int32(-(2**31))
     red_z = jnp.min if less_family else jnp.max
-    # Within a group, equal-depth ties go to the lowest record index for
-    # strict compares (later records do not replace) and the highest for
-    # the *_equal compares (later records do replace).
+    # Across sublane slots, equal-depth ties go to the lowest record
+    # index for strict compares (later records do not replace) and the
+    # highest for the *_equal compares (later records do replace).
     red_idx = jnp.min if strict else jnp.max
-    idx_sent = jnp.int32(127) if strict else jnp.int32(-1)
+    idx_sent = jnp.int32(1 << 30) if strict else jnp.int32(-1)
 
     def better(z_new, z_old):
         # "Does the LATER operand beat the EARLIER one?"
@@ -786,8 +792,8 @@ def _raster_kernel_sublane(
     tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
     chan_refs = outs[6:]
     scratch = rest[ninit + nout :]
-    ichunk, fchunk, tri, zs, ws, cacc = scratch[:6]
-    sems, fsems = scratch[6:]
+    ichunk, fchunk, tri, zs, ws, accz, acci, cacc = scratch[:8]
+    sems, fsems = scratch[8:]
     fw = cacc.shape[0]
 
     ty = pl.program_id(0)
@@ -803,7 +809,8 @@ def _raster_kernel_sublane(
         zs[:] = i_z[:]
     else:
         zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
-    ws[:] = jnp.full((tile_h, tile_w), jnp.int32(-1))
+    accz[:] = jnp.full((tile_h, 8, tile_w), sent)
+    acci[:] = jnp.zeros((tile_h, 8, tile_w), jnp.int32)
     cacc[:] = jnp.zeros((fw, tile_h, tile_w), jnp.float32)
 
     xl = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
@@ -871,8 +878,7 @@ def _raster_kernel_sublane(
             E2 = f(2) + f(5) * xl
             Z = f(9) + f(10) * xl
             Q = jnp.int32(fp.DEPTH_ONE_Q)
-            z_rows = []
-            i_rows = []
+            rec_abs = rec_i + c * CHUNK  # (8, 1) absolute record indices
             for y in range(tile_h):
                 z = (
                     jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
@@ -894,27 +900,41 @@ def _raster_kernel_sublane(
                     zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
                 else:
                     zk = jnp.where(m >= 0, z, sent)
-                zw = red_z(zk, axis=0, keepdims=True)
-                iw = red_idx(
-                    jnp.where(zk == zw, subi, idx_sent), axis=0, keepdims=True
-                )
-                z_rows.append(zw)
-                i_rows.append(iw)
+                # Fold into the per-slot accumulators — no cross-sublane
+                # ops in the hot loop.  A sent (uncovered) zk can only
+                # "beat" a slot that is itself still sent (under the
+                # *_equal compares), which the finalize excludes anyway;
+                # real depths never equal the sentinel (|z - 2^29| is
+                # bounded by 2^29 + 2^zshift by the clamp above).
+                az = accz[y]
+                take = better(zk, az)
+                accz[y] = jnp.where(take, zk, az)
+                acci[y] = jnp.where(take, rec_abs, acci[y])
                 E0 = E0 + ay0
                 E1 = E1 + ay1
                 E2 = E2 + ay2
                 Z = Z + dzy
-            zg = jnp.concatenate(z_rows, axis=0)
-            ig = jnp.concatenate(i_rows, axis=0)
-            take = better(zg, zs[:]) & (zg != sent)
-            zs[:] = jnp.where(take, zg, zs[:])
-            ws[:] = jnp.where(take, ig + (c * CHUNK + g * 8), ws[:])
             return 0
 
         jax.lax.fori_loop(lo // 8, pl.cdiv(hi_b, 8), group_body, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    # ---- pass-1 finalize: one cross-sublane reduction per row ---------------
+    z_rows = []
+    i_rows = []
+    for y in range(tile_h):
+        az = accz[y]
+        zw = red_z(az, axis=0, keepdims=True)
+        iw = red_idx(jnp.where(az == zw, acci[y], idx_sent), axis=0, keepdims=True)
+        z_rows.append(zw)
+        i_rows.append(iw)
+    zg = jnp.concatenate(z_rows, axis=0)
+    ig = jnp.concatenate(i_rows, axis=0)
+    take_fin = better(zg, zs[:]) & (zg != sent)
+    zs[:] = jnp.where(take_fin, zg, zs[:])
+    ws[:] = jnp.where(take_fin, ig, jnp.int32(-1))
 
     # ---- pass 2: one-hot matmul attribute fetch ----------------------------
     win_max = jnp.max(ws[:])
@@ -1275,6 +1295,7 @@ def _raster_kernel_msaa4(
         "batch",
         "unroll",
         "sublane",
+        "assemble",
     ),
 )
 def rasterize_vis_pallas(
@@ -1306,6 +1327,7 @@ def rasterize_vis_pallas(
     unroll: int = 1,
     sublane: bool = False,
     origin=(0, 0),
+    assemble: str = "xla",
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -1343,6 +1365,8 @@ def rasterize_vis_pallas(
         msaa4=msaa4,
         origin=origin,
         slots=slots,
+        assemble=assemble,
+        interpret=interpret,
     )
     out = rasterize_binned(
         binned,
@@ -1551,6 +1575,8 @@ def rasterize_binned(
             pltpu.VMEM((CHUNK, rw_), jnp.int32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # zs
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # ws
+            pltpu.VMEM((tile_h, 8, tile_w), jnp.int32),  # accz (per-slot depth)
+            pltpu.VMEM((tile_h, 8, tile_w), jnp.int32),  # acci (per-slot rec idx)
             pltpu.VMEM((fw_, tile_h, tile_w), jnp.float32),  # cacc (field-major)
         ]
     else:

@@ -284,6 +284,14 @@ class Pipeline:
     # MSAA; silently falls back to the sequential kernel when the draw
     # is ineligible.
     raster_sublane: bool = False
+    # Binner record assembly: "xla" materializes the post-sort transpose
+    # and column assembly as XLA ops; "pallas" fuses them into one
+    # streaming kernel (ops/binassem.py) — measured the biggest binner
+    # cost on dense meshes.  Records are bit-identical in coverage/depth
+    # spec terms; the f32 plane bases may differ by 1 ulp (the two
+    # compilations may contract the re-anchor multiply-adds differently),
+    # within the barycentric tolerance contract.
+    raster_assemble: str = "xla"
     # Covered-tile-compacted deferred shading (ops/compact.py): budget the
     # fragment pass (and its texture-tap gathers) to a fraction — or a
     # LADDER of fractions — of the framebuffer's (8, 128) tiles.  Tiles
@@ -317,6 +325,10 @@ class Pipeline:
         if self.raster_slots_factor is not None and self.raster_slots_factor <= 0:
             raise ValueError(
                 f"raster_slots_factor must be positive, got {self.raster_slots_factor}"
+            )
+        if self.raster_assemble not in ("xla", "pallas"):
+            raise ValueError(
+                f"raster_assemble must be 'xla' or 'pallas', got {self.raster_assemble!r}"
             )
         if self.shade_compact is not None:
             fracs = (

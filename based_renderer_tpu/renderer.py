@@ -699,6 +699,7 @@ class Renderer:
                         batch=pipe.raster_batch if variant_ok[i][0] else 0,
                         sublane=variant_ok[i][1],
                         unroll=pipe.raster_unroll,
+                        assemble=pipe.raster_assemble,
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
