@@ -725,6 +725,7 @@ def _raster_kernel_sublane(
     has_init: bool,
     num_channels: int,
     scissor,
+    group: int = 8,
 ):
     """Sublane-parallel rasterization — the dense-mesh production kernel.
 
@@ -735,13 +736,16 @@ def _raster_kernel_sublane(
     entirely:
 
     Pass 1 (int visibility) transposes each DMA'd record chunk once in
-    VMEM and processes records in groups of EIGHT on the sublane axis —
-    all coefficients arrive as (8, 1) vector loads and broadcast along
-    lanes.  Each group evaluates its 8 records over one 128-pixel tile
-    row per step (records x pixels on the VPU's native 8x128 registers)
-    and folds them into per-SUBLANE-SLOT (depth, record-index)
-    accumulators — sublane slot s of row y holds the best record with
-    index ≡ s (mod 8) seen so far for that row.  No cross-sublane work
+    VMEM and processes records in groups of ``group`` (default 8, any
+    multiple of 8 dividing CHUNK) on the sublane axis — all coefficients
+    arrive as (group, 1) vector loads and broadcast along lanes.  Each
+    group evaluates its records over one 128-pixel tile row per step
+    (records x pixels on the VPU's native 8x128 registers; group > 8
+    simply spans several registers per op, amortizing the per-group
+    coefficient loads and loop control over more records) and folds them
+    into per-SUBLANE-SLOT (depth, record-index) accumulators — sublane
+    slot s of row y holds the best record with index ≡ s (mod group)
+    seen so far for that row.  No cross-sublane work
     happens in the hot loop; one masked cross-sublane extremum per row
     at tile finalize picks the overall winner.  Tie semantics are exact:
     within a slot, record indices arrive in increasing order, so the
@@ -768,6 +772,8 @@ def _raster_kernel_sublane(
     on a v5e — the fix for BASELINE config 5 (1M-triangle scenes).
     """
     assert tile_w == 128, "sublane kernel requires tile_w == 128"
+    assert group % 8 == 0 and CHUNK % group == 0
+    G = group
     strict = depth_compare in ("less", "greater")
     less_family = depth_compare.startswith("less")
     sent = jnp.int32(2**31 - 1) if less_family else jnp.int32(-(2**31))
@@ -809,12 +815,12 @@ def _raster_kernel_sublane(
         zs[:] = i_z[:]
     else:
         zs[:] = jnp.full((tile_h, tile_w), jnp.int32(clear_depth_q))
-    accz[:] = jnp.full((tile_h, 8, tile_w), sent)
-    acci[:] = jnp.zeros((tile_h, 8, tile_w), jnp.int32)
+    accz[:] = jnp.full((tile_h, G, tile_w), sent)
+    acci[:] = jnp.zeros((tile_h, G, tile_w), jnp.int32)
     cacc[:] = jnp.zeros((fw, tile_h, tile_w), jnp.float32)
 
     xl = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
-    subi = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    subi = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
     if scissor is not None:
         sx0, sy0, sx1, sy1 = scissor
         gx_pix = xl + tx * tile_w
@@ -856,12 +862,12 @@ def _raster_kernel_sublane(
         hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
 
         def group_body(g, _):
-            base = pl.ds(pl.multiple_of(g * 8, 8), 8)
+            base = pl.ds(pl.multiple_of(g * G, G), G)
 
             def f(j):
-                return tri[base, j : j + 1]  # (8, 1) vector load
+                return tri[base, j : j + 1]  # (group, 1) vector load
 
-            rec_i = g * 8 + subi
+            rec_i = g * G + subi
             inr = (rec_i >= lo) & (rec_i < hi_b)
             # Records outside the live window get the same impossible-edge
             # treatment the binner gives invalid slots (very negative e0,
@@ -916,7 +922,7 @@ def _raster_kernel_sublane(
                 Z = Z + dzy
             return 0
 
-        jax.lax.fori_loop(lo // 8, pl.cdiv(hi_b, 8), group_body, 0, unroll=False)
+        jax.lax.fori_loop(lo // G, pl.cdiv(hi_b, G), group_body, 0, unroll=False)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
@@ -1295,6 +1301,7 @@ def _raster_kernel_msaa4(
         "batch",
         "unroll",
         "sublane",
+        "sublane_group",
         "assemble",
     ),
 )
@@ -1326,6 +1333,7 @@ def rasterize_vis_pallas(
     batch: int = 0,
     unroll: int = 1,
     sublane: bool = False,
+    sublane_group: int = 8,
     origin=(0, 0),
     assemble: str = "xla",
 ):
@@ -1391,6 +1399,7 @@ def rasterize_vis_pallas(
         batch=batch,
         unroll=unroll,
         sublane=sublane,
+        sublane_group=sublane_group,
     )
     if not return_overflow:
         return out
@@ -1422,6 +1431,7 @@ def rasterize_binned(
     batch: int = 0,
     unroll: int = 1,
     sublane: bool = False,
+    sublane_group: int = 8,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -1477,6 +1487,11 @@ def rasterize_binned(
             )
         if tile_w != 128:
             raise ValueError("sublane rasterization requires tile_w == 128")
+        if sublane_group % 8 or CHUNK % sublane_group:
+            raise ValueError(
+                f"sublane_group must be a multiple of 8 dividing {CHUNK}, "
+                f"got {sublane_group}"
+            )
         kernel = functools.partial(
             _raster_kernel_sublane,
             tile_w=tile_w,
@@ -1488,6 +1503,7 @@ def rasterize_binned(
             has_init=has_init,
             num_channels=num_ch,
             scissor=scissor,
+            group=sublane_group,
         )
     elif batched:
         if not (
@@ -1575,8 +1591,8 @@ def rasterize_binned(
             pltpu.VMEM((CHUNK, rw_), jnp.int32),
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # zs
             pltpu.VMEM((tile_h, tile_w), jnp.int32),  # ws
-            pltpu.VMEM((tile_h, 8, tile_w), jnp.int32),  # accz (per-slot depth)
-            pltpu.VMEM((tile_h, 8, tile_w), jnp.int32),  # acci (per-slot rec idx)
+            pltpu.VMEM((tile_h, sublane_group, tile_w), jnp.int32),  # accz
+            pltpu.VMEM((tile_h, sublane_group, tile_w), jnp.int32),  # acci
             pltpu.VMEM((fw_, tile_h, tile_w), jnp.float32),  # cacc (field-major)
         ]
     else:

@@ -284,6 +284,12 @@ class Pipeline:
     # MSAA; silently falls back to the sequential kernel when the draw
     # is ineligible.
     raster_sublane: bool = False
+    # Sublane-kernel record-group size: records processed simultaneously
+    # on the sublane axis per inner-loop step.  Groups > 8 span several
+    # native (8, 128) registers per op, amortizing per-group coefficient
+    # loads and loop control over more records (a pure throughput knob —
+    # coverage/depth stay bit-identical).  Multiple of 8, dividing 128.
+    raster_group: int = 8
     # Binner record assembly: "xla" materializes the post-sort transpose
     # and column assembly as XLA ops; "pallas" fuses them into one
     # streaming kernel (ops/binassem.py) — measured the biggest binner
@@ -325,6 +331,11 @@ class Pipeline:
         if self.raster_slots_factor is not None and self.raster_slots_factor <= 0:
             raise ValueError(
                 f"raster_slots_factor must be positive, got {self.raster_slots_factor}"
+            )
+        if self.raster_group % 8 or 128 % self.raster_group:
+            raise ValueError(
+                f"raster_group must be a multiple of 8 dividing 128, "
+                f"got {self.raster_group}"
             )
         if self.raster_assemble not in ("xla", "pallas"):
             raise ValueError(

@@ -698,6 +698,7 @@ class Renderer:
                         # request warned / raised there).
                         batch=pipe.raster_batch if variant_ok[i][0] else 0,
                         sublane=variant_ok[i][1],
+                        sublane_group=pipe.raster_group,
                         unroll=pipe.raster_unroll,
                         assemble=pipe.raster_assemble,
                         return_overflow=True,

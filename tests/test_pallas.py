@@ -280,6 +280,30 @@ def test_sublane_matches_sequential(compare):
         )
 
 
+@pytest.mark.parametrize("group", [16, 32])
+@pytest.mark.parametrize("compare", ["less", "less_equal"])
+def test_sublane_group_sizes(compare, group):
+    """Wider record groups (raster_group) are a pure throughput knob:
+    bit-identical coverage/depth/ties to the sequential kernel."""
+    clip = np.concatenate(
+        [random_clip(31, 40)]
+        + [
+            np.asarray(
+                [[[-0.5, -0.5, 0.3, 1], [0.5, -0.5, 0.3, 1], [0, 0.5, 0.3, 1]]],
+                np.float32,
+            )
+        ]
+        * 37  # spans group boundaries of 16 and 32 with equal-depth ties
+    )
+    W, H = 96, 64
+    ts = setup_triangles(jnp.asarray(clip), W, H)
+    kw = dict(tile_w=128, tile_h=8, depth_compare=compare, interpret=True)
+    vs = rasterize_vis_pallas(ts, W, H, **kw)
+    vb = rasterize_vis_pallas(ts, W, H, sublane=True, sublane_group=group, **kw)
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vs.depth_q), np.asarray(vb.depth_q))
+
+
 @pytest.mark.parametrize("compare", ["less", "less_equal", "greater", "greater_equal"])
 def test_sublane_equal_depth_ties(compare):
     """Coplanar identical triangles: the winner is decided purely by the

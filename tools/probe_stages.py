@@ -93,6 +93,11 @@ def main():
                 0,
                 channels=channels,
                 perspective=True,
+                slots=(
+                    None
+                    if pipe.raster_slots_factor is None
+                    else max(int(num_t * pipe.raster_slots_factor), 1024)
+                ),
             )
             if depth == 2:
                 # Feed the REAL kernel but with zeroed tile counts: the
