@@ -1030,6 +1030,297 @@ def _raster_kernel_sublane(
         cr[:] = jnp.where(covm, plane_eval(FRECORD_BASE + 3 * ci), 0.0)
 
 
+def _raster_kernel_msaa4_sublane(
+    # scalar prefetch
+    tile_start_ref,
+    tile_count_ref,
+    # inputs
+    records_hbm,  # (RECORD_WIDTH_MSAA, MAXPAIRS) int32, stays in HBM
+    frecords_hbm,  # (FRECORD_WIDTH, MAXPAIRS) f32, stays in HBM
+    *rest,
+    tile_w: int,
+    tile_h: int,
+    num_tx: int,
+    depth_compare: str,
+    depth_clip: bool,
+    clear_depth_q: int,
+    has_init: bool,
+    num_channels: int,
+    scissor,
+    group: int = 8,
+):
+    """Sublane-parallel coverage-sample MSAA-4x rasterization.
+
+    The MSAA analog of _raster_kernel_sublane (same eligibility: depth
+    test+write with an ordered compare, no stencil): pass 1 processes
+    records in sublane groups and folds them into PER-SAMPLE per-slot
+    (depth, record-index) accumulators — per-sample coverage and
+    quantized depth derive from the shared pixel-center planes by
+    per-record scalar offsets (spec: fp.MSAA4_OFFSETS proofs), exactly
+    as in the sequential _raster_kernel_msaa4, so results are
+    bit-identical to it and the oracle.  Pass 2 recovers each sample
+    layer's winning float attributes (evaluated at the pixel CENTER —
+    true multisampling, shade once per fragment) with ONE widened
+    one-hot matmul per (row, chunk): the 4 sample layers of a row are
+    concatenated along lanes into a (CHUNK, 4*tile_w) one-hot, so the
+    MXU visits each float chunk once per row regardless of the sample
+    count.  Tie semantics and the order-independence proof are the 1x
+    sublane kernel's, applied per sample layer.
+    """
+    S = NUM_SAMPLES
+    assert tile_w == 128, "sublane kernel requires tile_w == 128"
+    assert group % 8 == 0 and CHUNK % group == 0
+    G = group
+    strict = depth_compare in ("less", "greater")
+    less_family = depth_compare.startswith("less")
+    sent = jnp.int32(2**31 - 1) if less_family else jnp.int32(-(2**31))
+    red_z = jnp.min if less_family else jnp.max
+    red_idx = jnp.min if strict else jnp.max
+    idx_sent = jnp.int32(1 << 30) if strict else jnp.int32(-1)
+
+    def better(z_new, z_old):
+        if less_family:
+            return (z_new < z_old) if strict else (z_new <= z_old)
+        return (z_new > z_old) if strict else (z_new >= z_old)
+
+    ftid = ftid_col(num_channels)
+    nout = 6 + num_channels
+    ninit = 5 if has_init else 0
+    init_refs = rest[:ninit]
+    outs = rest[ninit : ninit + nout]
+    tri_id_ref, depth_ref, b0_ref, b1_ref, b2_ref, invw_ref = outs[:6]
+    chan_refs = outs[6:]
+    scratch = rest[ninit + nout :]
+    ichunk, fchunk, tri, zs, ws, accz, acci, cacc = scratch[:8]
+    sems, fsems = scratch[8:]
+    fw = cacc.shape[0]
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * num_tx + tx
+    raw_start = tile_start_ref[tile]
+    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+    skip = raw_start - start
+    count = tile_count_ref[tile] + skip
+
+    if has_init:
+        _i_id, i_z, _i_b0, _i_b1, _i_b2 = init_refs
+        zs[:] = i_z[:]
+    else:
+        zs[:] = jnp.full((S, tile_h, tile_w), jnp.int32(clear_depth_q))
+    accz[:] = jnp.full((S, tile_h, G, tile_w), sent)
+    acci[:] = jnp.zeros((S, tile_h, G, tile_w), jnp.int32)
+    cacc[:] = jnp.zeros((fw, tile_h, S * tile_w), jnp.float32)
+
+    xl = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+    subi = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+    if scissor is not None:
+        sx0, sy0, sx1, sy1 = scissor
+        gx_pix = xl + tx * tile_w
+        xmask = (gx_pix >= sx0) & (gx_pix < sx1)  # (1, 128)
+        gy0 = ty * tile_h
+
+    num_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            records_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            ichunk.at[slot],
+            sems.at[slot],
+        )
+
+    def get_fdma(slot, c):
+        return pltpu.make_async_copy(
+            frecords_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            fchunk.at[slot],
+            fsems.at[slot],
+        )
+
+    # ---- pass 1: sublane-parallel per-sample int visibility ----------------
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        tri[:] = ichunk[slot].T
+
+        lo = jnp.maximum(skip - c * CHUNK, 0)
+        hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
+
+        def group_body(g, _):
+            base = pl.ds(pl.multiple_of(g * G, G), G)
+
+            def f(j):
+                return tri[base, j : j + 1]  # (group, 1) vector load
+
+            rec_i = g * G + subi
+            inr = (rec_i >= lo) & (rec_i < hi_b)
+            ay0 = jnp.where(inr, f(6), 0)
+            ay1, ay2, dzy = f(7), f(8), f(11)
+            zsh = f(12)
+            hi_clamp = jnp.right_shift(jnp.int32(1 << 29), zsh) + jnp.int32(1)
+            # Per-sample scalar offsets and depth deltas, once per group
+            # (amortized over the tile_h row loop).
+            dzx = f(10)
+            offs = []
+            for ddx, ddy in fp.MSAA4_OFFSETS:
+                o0 = f(16) * ddx + f(19) * ddy
+                o1 = f(17) * ddx + f(20) * ddy
+                o2 = f(18) * ddx + f(21) * ddy
+                dz = jnp.right_shift(dzx * ddx + dzy * ddy, 4)
+                offs.append((o0, o1, o2, dz))
+            E0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30))) + f(3) * xl
+            E1 = f(1) + f(4) * xl
+            E2 = f(2) + f(5) * xl
+            Z = f(9) + f(10) * xl
+            Q = jnp.int32(fp.DEPTH_ONE_Q)
+            rec_abs = rec_i + c * CHUNK
+            for y in range(tile_h):
+                if scissor is not None:
+                    y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
+                for s, (o0, o1, o2, dz) in enumerate(offs):
+                    m = ((E0 + o0) | (E1 + o1)) | (E2 + o2)
+                    z = (
+                        jnp.left_shift(
+                            jnp.clip(Z + dz, -hi_clamp, hi_clamp), zsh
+                        )
+                        + jnp.int32(1 << 29)
+                    )
+                    if depth_clip == "clamp":
+                        z = jnp.clip(z, 0, Q)
+                    elif depth_clip:
+                        m = m | (z | (Q - z))
+                    if scissor is not None:
+                        zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
+                    else:
+                        zk = jnp.where(m >= 0, z, sent)
+                    az = accz[s, y]
+                    take = better(zk, az)
+                    accz[s, y] = jnp.where(take, zk, az)
+                    acci[s, y] = jnp.where(take, rec_abs, acci[s, y])
+                E0 = E0 + ay0
+                E1 = E1 + ay1
+                E2 = E2 + ay2
+                Z = Z + dzy
+            return 0
+
+        jax.lax.fori_loop(lo // G, pl.cdiv(hi_b, G), group_body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
+
+    # ---- pass-1 finalize: one cross-sublane reduction per (sample, row) ----
+    for s in range(S):
+        z_rows = []
+        i_rows = []
+        for y in range(tile_h):
+            az = accz[s, y]
+            zw = red_z(az, axis=0, keepdims=True)
+            iw = red_idx(
+                jnp.where(az == zw, acci[s, y], idx_sent), axis=0, keepdims=True
+            )
+            z_rows.append(zw)
+            i_rows.append(iw)
+        zg = jnp.concatenate(z_rows, axis=0)
+        ig = jnp.concatenate(i_rows, axis=0)
+        take_fin = better(zg, zs[s]) & (zg != sent)
+        zs[s] = jnp.where(take_fin, zg, zs[s])
+        ws[s] = jnp.where(take_fin, ig, jnp.int32(-1))
+
+    # ---- pass 2: widened one-hot matmul attribute fetch --------------------
+    win_max = jnp.max(ws[:])
+
+    @pl.when(win_max >= 0)
+    def _():
+        get_fdma(0, 0).start()
+
+    last_chunk = win_max // CHUNK  # -1 when no winners
+
+    riota_sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+
+    def fchunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 <= last_chunk)
+        def _():
+            get_fdma((c + 1) % 2, c + 1).start()
+
+        get_fdma(slot, c).wait()
+        for y in range(tile_h):
+            # The 4 sample layers of this row, concatenated along lanes:
+            # one (CHUNK, 4*tile_w) one-hot -> the MXU reads the float
+            # chunk once per row regardless of the sample count.
+            wrow = jnp.concatenate(
+                [ws[s, y : y + 1, :] for s in range(S)], axis=1
+            )
+            whi = jnp.max(wrow)
+            wlo = jnp.min(jnp.where(wrow < 0, jnp.int32(2**30), wrow))
+
+            @pl.when((whi >= c * CHUNK) & (wlo < (c + 1) * CHUNK))
+            def _():
+                ohT = ((wrow - c * CHUNK) == riota_sub).astype(jnp.float32)
+                cacc[:, y, :] += jax.lax.dot_general(
+                    fchunk[slot],
+                    ohT,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, last_chunk + 1, fchunk_body, 0, unroll=False)
+
+    # ---- finalize: evaluate winner planes per sample layer -----------------
+    # Attribute planes are evaluated at the PIXEL CENTER (x = lane % 128)
+    # for every sample layer — true multisampling.
+    xf = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, S * tile_w), 1)
+        & jnp.int32(tile_w - 1)
+    ).astype(jnp.float32)
+    yf = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0).astype(jnp.float32)
+
+    def plane_eval(col):
+        return cacc[col] + cacc[col + 1] * xf + cacc[col + 2] * yf
+
+    nb0_all = plane_eval(0)  # (tile_h, S*tile_w)
+    nb1_all = plane_eval(3)
+    niw_all = plane_eval(6)
+    tid_all = cacc[ftid].astype(jnp.int32)
+    nch_all = [plane_eval(FRECORD_BASE + 3 * ci) for ci in range(num_channels)]
+
+    if has_init:
+        i_id, _i_z, i_b0, i_b1, _i_b2 = init_refs
+
+    for s in range(S):
+        sl = slice(s * tile_w, (s + 1) * tile_w)
+        covm = ws[s] >= 0
+        if has_init:
+            bg_id, bg_b0, bg_b1 = i_id[s], i_b0[s], i_b1[s]
+        else:
+            bg_id = jnp.full((tile_h, tile_w), jnp.int32(-1))
+            bg_b0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+            bg_b1 = jnp.zeros((tile_h, tile_w), jnp.float32)
+        out_id = jnp.where(covm, tid_all[:, sl], bg_id)
+        out_b0 = jnp.where(covm, nb0_all[:, sl], bg_b0)
+        out_b1 = jnp.where(covm, nb1_all[:, sl], bg_b1)
+        tri_id_ref[s] = out_id
+        depth_ref[s] = zs[s]
+        b0_ref[s] = out_b0
+        b1_ref[s] = out_b1
+        b2_ref[s] = jnp.where(out_id >= 0, (1.0 - out_b0) - out_b1, 0.0)
+        invw_ref[s] = jnp.where(covm, niw_all[:, sl], 1.0)
+        for ci, cr in enumerate(chan_refs):
+            cr[s] = jnp.where(covm, nch_all[ci][:, sl], 0.0)
+
+
 def _raster_kernel_msaa4(
     # scalar prefetch
     tile_start_ref,
@@ -1477,13 +1768,12 @@ def rasterize_binned(
             and depth_write
             and depth_compare in ("less", "less_equal", "greater", "greater_equal")
             and not use_stencil
-            and not msaa4
             and not two_pass
             and not batched
         ):
             raise ValueError(
                 "sublane rasterization requires depth test+write with an "
-                "ordered compare and no stencil/msaa/two_pass/batch"
+                "ordered compare and no stencil/two_pass/batch"
             )
         if tile_w != 128:
             raise ValueError("sublane rasterization requires tile_w == 128")
@@ -1493,7 +1783,7 @@ def rasterize_binned(
                 f"got {sublane_group}"
             )
         kernel = functools.partial(
-            _raster_kernel_sublane,
+            _raster_kernel_msaa4_sublane if msaa4 else _raster_kernel_sublane,
             tile_w=tile_w,
             tile_h=tile_h,
             num_tx=num_tx,
@@ -1584,16 +1874,21 @@ def rasterize_binned(
         # loads; the float chunk is consumed untransposed by the pass-2
         # matmul), the (depth, winner-index) state, and the field-major
         # one-hot coefficient accumulator.
-        rw_, fw_ = record_width(False), frecord_width(num_ch)
+        rw_, fw_ = record_width(msaa4), frecord_width(num_ch)
+        pix = lambda shape: shape if not msaa4 else (S, *shape)
         scratch_shapes = [
             pltpu.VMEM((2, rw_, CHUNK), jnp.int32),
             pltpu.VMEM((2, fw_, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, rw_), jnp.int32),
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),  # zs
-            pltpu.VMEM((tile_h, tile_w), jnp.int32),  # ws
-            pltpu.VMEM((tile_h, sublane_group, tile_w), jnp.int32),  # accz
-            pltpu.VMEM((tile_h, sublane_group, tile_w), jnp.int32),  # acci
-            pltpu.VMEM((fw_, tile_h, tile_w), jnp.float32),  # cacc (field-major)
+            pltpu.VMEM(pix((tile_h, tile_w)), jnp.int32),  # zs
+            pltpu.VMEM(pix((tile_h, tile_w)), jnp.int32),  # ws
+            pltpu.VMEM(pix((tile_h, sublane_group, tile_w)), jnp.int32),  # accz
+            pltpu.VMEM(pix((tile_h, sublane_group, tile_w)), jnp.int32),  # acci
+            # Field-major one-hot coefficient accumulator; under MSAA the
+            # 4 sample layers of a row concatenate along lanes.
+            pltpu.VMEM(
+                (fw_, tile_h, (S if msaa4 else 1) * tile_w), jnp.float32
+            ),
         ]
     else:
         # Two-pass variants carry a winner-index plane; the single-pass

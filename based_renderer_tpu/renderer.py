@@ -482,7 +482,9 @@ class Renderer:
                 return f"unordered depth compare {pipe.depth.compare!r}"
             if pipe.stencil.enable:
                 return "stencil enabled"
-            if coverage_msaa:
+            if coverage_msaa and not need_tile128:
+                # The sublane kernel (need_tile128) has a coverage-MSAA
+                # variant (_raster_kernel_msaa4_sublane); batch does not.
                 return "coverage-sample MSAA"
             if pipe.raster_two_pass:
                 return "two-pass rasterization requested"

@@ -88,6 +88,55 @@ def test_msaa_bitexact_slivers():
     assert_msaa_identical(clip)
 
 
+@pytest.mark.parametrize("compare", ["less", "less_equal"])
+@pytest.mark.parametrize("group", [8, 32])
+def test_msaa_sublane_matches_sequential(compare, group):
+    """The sublane MSAA kernel (_raster_kernel_msaa4_sublane) is
+    bit-identical to the sequential MSAA kernel — per-sample tri_id,
+    depth, barycentrics, invw, and interpolated channels — including
+    equal-depth tie-breaking across group boundaries."""
+    clip = np.concatenate(
+        [random_clip(20, 40), np.repeat(random_clip(20, 40)[:5], 3, axis=0)]
+    )
+    rng = np.random.default_rng(21)
+    ch = jnp.asarray(rng.normal(size=(len(clip), 3, 4)).astype(np.float32))
+    ts = setup_triangles(jnp.asarray(clip), W, H, bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP)
+    kw = dict(
+        tile_w=128,
+        tile_h=8,
+        depth_compare=compare,
+        channels=ch,
+        msaa4=True,
+        interpret=True,
+    )
+    vs, is_, ws_ = rasterize_vis_pallas(ts, W, H, **kw)
+    vb, ib_, wb_ = rasterize_vis_pallas(
+        ts, W, H, sublane=True, sublane_group=group, **kw
+    )
+    for name in ("tri_id", "depth_q", "b0", "b1", "b2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vs, name)), np.asarray(getattr(vb, name))
+        )
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ib_))
+    np.testing.assert_array_equal(np.asarray(ws_), np.asarray(wb_))
+
+
+def test_msaa_sublane_init_chain():
+    """init= chaining through the sublane MSAA kernel matches one oracle
+    pass over both draws."""
+    clip_a = random_clip(6, 10)
+    clip_b = random_clip(7, 14)
+    pad = fp.MSAA4_BBOX_PAD_FP
+    ts_a = setup_triangles(jnp.asarray(clip_a), W, H, bbox_pad_fp=pad)
+    ts_b = setup_triangles(jnp.asarray(clip_b), W, H, bbox_pad_fp=pad)
+    kw = dict(tile_w=128, tile_h=8, interpret=True, msaa4=True, sublane=True)
+    vp = rasterize_vis_pallas(ts_a, W, H, **kw)
+    vp = rasterize_vis_pallas(ts_b, W, H, init=vp, id_offset=10, **kw)
+    ora = oracle.rasterize_msaa4(np.concatenate([clip_a, clip_b]), W, H)
+    np.testing.assert_array_equal(np.asarray(vp.tri_id), ora["tri_id"])
+    np.testing.assert_array_equal(np.asarray(vp.depth_q), ora["depth_q"])
+
+
 def test_msaa_multidraw_init_chain():
     """init= chaining across draws matches one oracle pass over both sets."""
     clip_a = random_clip(6, 10)

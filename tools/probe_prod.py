@@ -66,6 +66,8 @@ def main():
                 out = out + jnp.sum(color)
             if "vis" in consume:
                 out = out + jnp.sum(depth_q.astype(jnp.float32))
+            if "of" in consume:
+                out = out + of.astype(jnp.float32)
             return carry + out, ()
 
         return body
@@ -90,7 +92,34 @@ def main():
 
     timed("vis-only (shade DCE'd)", body_for({"vis"}))
     timed("color    (full frame) ", body_for({"color"}))
-    timed("color+vis             ", body_for({"color", "vis"}))
+    timed("color+of (bench path) ", body_for({"color", "of"}))
+
+    # The EXACT render_sequence entry point at two lengths, differenced —
+    # whatever this shows above the color leg lives in render_sequence's
+    # own structure (stacked-uniform slicing, checksum stacking, overflow
+    # carry), not the frame program.
+    def uniform_stack(n):
+        ts = [uniforms_at(jnp.float32(i * 0.016)) for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+
+    def rs(n):
+        out = r.render_sequence(pipe, mesh, uniform_stack(n))
+        np.asarray(out)
+
+    for rep in range(2):
+        rs(2)
+    best = {}
+    for n in (2, 8):
+        b = 1e9
+        for rep in range(3):
+            t0 = time.perf_counter()
+            rs(n)
+            b = min(b, time.perf_counter() - t0)
+        best[n] = b
+    print(
+        f"render_sequence       : {(best[8] - best[2]) / 6 * 1e3:8.2f} ms/frame",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
