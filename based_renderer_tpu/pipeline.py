@@ -308,8 +308,13 @@ class Pipeline:
     # shapes), so with a tuple a lax.cond chain picks the tightest tier
     # the frame's covered-tile count fits; past the largest tier the
     # full-screen pass runs.  None = always full-screen.  Pallas-backend
-    # draws only; ignored with coverage MSAA or when the framebuffer
-    # doesn't tile by (8, 128).
+    # draws only; ignored when the framebuffer doesn't tile by (8, 128).
+    # Under coverage MSAA the sample layers fold into the tile-row
+    # channel axis (still one gather/scatter per tier) and a tile is
+    # selected when ANY sample layer covers it; compacted MSAA color can
+    # differ from the full-screen pass by 1 ulp (XLA contracts the
+    # fragment multiply-adds differently in the two branches — same
+    # class as cross-backend color tolerance; coverage/depth are exact).
     shade_compact: float | tuple | None = None
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to

@@ -791,33 +791,174 @@ class Renderer:
                         return frag
 
                     if coverage_msaa:
-                        frag = build_frag(interp_vals)
-                        if interp_vals is None and var_tri:
-                            # XLA backend: per-sample varying interpolation
-                            # (pixel gathers — the portable path's cost
-                            # model; Pallas interpolates in-raster).
-                            frag.update(
-                                jax.vmap(
-                                    lambda vl: raster_xla.interpolate_varyings(
-                                        vl,
-                                        var_tri,
-                                        ts.inv_w,
-                                        pipe.perspective_correct,
-                                    )
-                                )(vis_local)
-                            )
-                        frag["tri_id"] = vis_local.tri_id
-                        frag["depth"] = vis_local.depth
-                        frag["bary"] = jnp.stack(
-                            [vis_i.b0, vis_i.b1, vis_i.b2], axis=-1
-                        )
                         uni = d["uniforms"]
-                        rgba = jax.vmap(lambda fr: shaders[i].fragment(fr, uni))(frag)
-                        rgba = jnp.transpose(rgba, (0, 3, 1, 2))  # (S, 4, rh, rw)
-                        blended = jax.vmap(lambda s, c: _blend(s, c, pipe.blend))(
-                            rgba, color
-                        )
-                        color = jnp.where(mask[:, None], blended, color)
+                        xla_interp_needed = interp_vals is None and bool(var_tri)
+
+                        def shade_full_msaa(cur):
+                            frag = build_frag(interp_vals)
+                            if xla_interp_needed:
+                                # XLA backend: per-sample varying
+                                # interpolation (pixel gathers — the
+                                # portable path's cost model; Pallas
+                                # interpolates in-raster).
+                                frag.update(
+                                    jax.vmap(
+                                        lambda vl: raster_xla.interpolate_varyings(
+                                            vl,
+                                            var_tri,
+                                            ts.inv_w,
+                                            pipe.perspective_correct,
+                                        )
+                                    )(vis_local)
+                                )
+                            frag["tri_id"] = vis_local.tri_id
+                            frag["depth"] = vis_local.depth
+                            frag["bary"] = jnp.stack(
+                                [vis_i.b0, vis_i.b1, vis_i.b2], axis=-1
+                            )
+                            rgba = jax.vmap(
+                                lambda fr: shaders[i].fragment(fr, uni)
+                            )(frag)
+                            rgba = jnp.transpose(rgba, (0, 3, 1, 2))
+                            blended = jax.vmap(
+                                lambda s, c: _blend(s, c, pipe.blend)
+                            )(rgba, cur)
+                            return jnp.where(mask[:, None], blended, cur)
+
+                        from .ops import compact as cp
+
+                        if (
+                            pipe.shade_compact is not None
+                            and use_pallas
+                            and not xla_interp_needed
+                            and cp.eligible(erh, erw)
+                        ):
+                            # Covered-tile-compacted MSAA shading: the 4x
+                            # per-sample fragment rate scales with this
+                            # draw's coverage instead of the framebuffer.
+                            # Sample layers fold into the tile-row channel
+                            # axis, so compaction still costs ONE row
+                            # gather/scatter per budget tier; tiles covered
+                            # in ANY sample layer are selected (per-sample
+                            # masks suppress uncovered layers at merge).
+                            S_ = mask.shape[0]
+                            nt = cp.num_tiles(erh, erw)
+                            fracs = (
+                                pipe.shade_compact
+                                if isinstance(pipe.shade_compact, tuple)
+                                else (pipe.shade_compact,)
+                            )
+                            budgets = sorted(
+                                {
+                                    min(nt, max(8, -(-int(nt * f) // 8) * 8))
+                                    for f in fracs
+                                }
+                            )
+                            order, cov_count = cp.covered_tile_order(
+                                jnp.any(mask, axis=0), erh, erw
+                            )
+                            fragment = shaders[i].fragment
+                            blend_state = pipe.blend
+                            persp_div = (
+                                interp is not None and pipe.perspective_correct
+                            )
+                            th, tw = cp.TILE_H, cp.TILE_W
+
+                            def shade_tiles(cur, budget):
+                                sel = order[:budget]
+                                parts = []  # (c, S, H, W) blocks
+                                if interp is not None:
+                                    parts.append(interp)
+                                if persp_div:
+                                    parts.append(invw[None])
+                                parts.append(vis_local.depth[None])
+                                parts.append(
+                                    jnp.stack([vis_i.b0, vis_i.b1, vis_i.b2])
+                                )
+                                f32 = jnp.concatenate(parts, axis=0)
+                                cin = f32.shape[0]
+                                g_f = cp.gather_tiles(
+                                    cp.tile_rows(
+                                        f32.reshape(cin * S_, erh, erw), erh, erw
+                                    ),
+                                    sel,
+                                    cin * S_,
+                                ).reshape(-1, cin, S_, th, tw)
+                                g_i = cp.gather_tiles(
+                                    cp.tile_rows(vis_local.tri_id, erh, erw),
+                                    sel,
+                                    S_,
+                                )  # (B, S, th, tw)
+                                bsz = g_f.shape[0]
+                                frag_t = {}
+                                c0 = 0
+                                if interp is not None:
+                                    nvar = interp.shape[0]
+                                    vals = g_f[:, :nvar]
+                                    if persp_div:
+                                        denom = g_f[:, nvar : nvar + 1]
+                                        vals = vals / jnp.where(
+                                            denom == 0, jnp.float32(1.0), denom
+                                        )
+                                    for k in sorted(var_tri):
+                                        c = var_tri[k].shape[-1]
+                                        frag_t[k] = jnp.moveaxis(
+                                            vals[:, c0 : c0 + c], 1, -1
+                                        )  # (B, S, th, tw, c)
+                                        c0 += c
+                                    c0 += 1 if persp_div else 0
+                                frag_t["depth"] = g_f[:, c0]
+                                frag_t["bary"] = jnp.moveaxis(
+                                    g_f[:, c0 + 1 : c0 + 4], 1, -1
+                                )
+                                frag_t["tri_id"] = g_i
+                                flat = jax.tree.map(
+                                    lambda x: x.reshape(
+                                        (bsz * S_,) + x.shape[2:]
+                                    ),
+                                    frag_t,
+                                )
+                                rgba_t = jax.vmap(
+                                    lambda fr: fragment(fr, uni)
+                                )(flat)  # (B*S, th, tw, 4)
+                                rows_c = cp.tile_rows(
+                                    cur.reshape(S_ * 4, erh, erw), erh, erw
+                                )
+                                color_t = cp.gather_tiles(
+                                    rows_c, sel, S_ * 4
+                                ).reshape(bsz * S_, 4, th, tw)
+                                blended_t = jax.vmap(
+                                    lambda s_, c_: _blend(s_, c_, blend_state)
+                                )(jnp.transpose(rgba_t, (0, 3, 1, 2)), color_t)
+                                out_t = jnp.where(
+                                    (g_i.reshape(bsz * S_, th, tw) >= 0)[
+                                        :, None
+                                    ],
+                                    blended_t,
+                                    color_t,
+                                )
+                                new_rows = cp.scatter_tiles(
+                                    rows_c, sel, out_t.reshape(bsz, S_ * 4, th, tw)
+                                )
+                                return cp.untile_rows(
+                                    new_rows, S_ * 4, erh, erw
+                                ).reshape(S_, 4, erh, erw)
+
+                            branch = shade_full_msaa
+                            for b in reversed(budgets):
+
+                                def branch(cur, _b=b, _next=branch):
+                                    return jax.lax.cond(
+                                        cov_count <= _b,
+                                        lambda c: shade_tiles(c, _b),
+                                        _next,
+                                        cur,
+                                    )
+
+                            color = branch(color)
+                            continue
+
+                        color = shade_full_msaa(color)
                         continue
 
                     def shade_full(cur):

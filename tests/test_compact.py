@@ -71,6 +71,29 @@ def test_compact_matches_full(budget_frac):
     np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(base.tri_id))
 
 
+@pytest.mark.parametrize("budget_frac", [(0.25, 0.6, 1.0), 0.02])
+def test_compact_msaa_matches_full(budget_frac):
+    """Coverage-MSAA compaction: sample layers fold into the tile-row
+    channel axis.  tri_id/depth are untouched (raster-stage outputs);
+    color matches the full pass to a few ulp (XLA contracts the fragment
+    multiply-adds differently in the two compiled branches — see
+    Pipeline.shade_compact)."""
+    c = brt.RendererConfig(width=W, height=H, msaa=4, raster_backend="pallas")
+    r = brt.Renderer(c)
+    pipe, mesh, uniforms, _ = demos.big_mesh_demo(r, triangles=300)
+    u = uniforms(0.3)
+    base = r.render_frame(pipe, mesh, u)
+    cpipe = dataclasses.replace(pipe, shade_compact=budget_frac)
+    got = brt.Renderer(c).render_frame(cpipe, mesh, u)
+    np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(base.tri_id))
+    np.testing.assert_array_equal(
+        np.asarray(got.depth_q), np.asarray(base.depth_q)
+    )
+    a, b = np.asarray(base.color_planar), np.asarray(got.color_planar)
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-6)
+    assert (b != a).mean() < 0.2  # overwhelmingly identical bits
+
+
 def test_compact_multidraw_blend():
     """Compaction composes with multi-draw alpha blending: each draw
     blends over the accumulated buffer through its own compacted pass."""
