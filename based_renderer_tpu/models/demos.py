@@ -139,10 +139,13 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         # spin (tools/probe_earlyz.py), so budget a small extras stream
         # (multi-tile triangles are rare) and slice the sorted stream at
         # 0.7 slots/tri — the binner's gather + assembly then run over
-        # ~half the slots.  Overflow is surfaced if a view ever exceeds it.
+        # ~half the slots.  At 4K the same triangles span more tiles
+        # (tools/count_pairs.py: worst 0.842 pairs/tri at 4K MSAA-4x vs
+        # 0.560 at 1080p), so widen both budgets with the framebuffer.
+        # Overflow is surfaced if a view ever exceeds them.
         near_clip=False,
-        raster_pairs_factor=1.15,
-        raster_slots_factor=0.7,
+        raster_pairs_factor=1.15 if r.config.width <= 2560 else 1.4,
+        raster_slots_factor=0.7 if r.config.width <= 2560 else 1.0,
         # 1M-record scenes are kernel- and binner-bound: sublane-parallel
         # raster kernel on short tiles, 32-record groups (measured on v5e:
         # group 8 -> 32 cuts the 1M-tri 1080p frame ~10 ms by amortizing

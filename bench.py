@@ -71,6 +71,12 @@ def time_sequence(r, pipe, mesh, uniforms, static, n_frames, instances=None, rep
         s = np.asarray(sums)  # materialize every frame's checksum
         best = min(best, time.perf_counter() - t0)
     assert len(set(np.round(s, 1))) > min(5, n_frames // 4), "frames not distinct?"
+    # A breached pair/slot budget silently drops triangles — that frame
+    # would be fast AND wrong, so it must never be benchmarked.
+    assert not bool(np.asarray(r.last_sequence_overflowed)), (
+        "raster pair/slot budget overflow during the benched sequence; "
+        "raise raster_pairs_factor/raster_slots_factor for this config"
+    )
     return best
 
 
