@@ -119,6 +119,7 @@ def main():
                 depth_clip=pipe.depth.clip,
                 num_channels=channels.shape[-1],
                 sublane=True,
+                sublane_group=pipe.raster_group,
             )
             vis, interp, invw = out
             if depth in (2, 3):
