@@ -306,11 +306,22 @@ def bin_triangles(
 
     tile_id_all = jnp.concatenate([first_tile, e_tile])
     tri_all = jnp.concatenate([tri_ids, eT[4]])
-    # Two-key sort: (tile, tri).  Unsorted-key payloads are unnecessary —
-    # tri IS the draw order.
-    tile_id_sorted, t_slot = jax.lax.sort(
-        [tile_id_all, tri_all], num_keys=2, is_stable=False
-    )
+    # Sort pairs by (tile, tri) — tri IS the draw order, so no payload
+    # columns ride along.  When both fields fit in 31 bits together they
+    # fuse into ONE int32 key (lexicographic == numeric order for
+    # non-negative packed fields), halving the sort's comparator work vs
+    # the two-key form; the sentinel tile (== num_tiles) still sorts to
+    # the tail because it packs to the largest key prefix.
+    tri_bits = max(int(num_tris - 1).bit_length(), 1)
+    fuse_key = ((num_tiles + 1) << tri_bits) <= 2**31
+    if fuse_key:
+        key_all = (tile_id_all << tri_bits) | tri_all
+        (key_sorted,) = jax.lax.sort([key_all], num_keys=1, is_stable=False)
+        tile_id_sorted, t_slot = key_sorted, None  # decomposed post-slice
+    else:
+        tile_id_sorted, t_slot = jax.lax.sort(
+            [tile_id_all, tri_all], num_keys=2, is_stable=False
+        )
     max_pairs = num_tris + extra_budget  # full expansion stream length
     if slots is not None and slots < max_pairs:
         # The sort puts dead slots (culled / offscreen triangles, tile ==
@@ -323,10 +334,14 @@ def bin_triangles(
         slots = max(-(-slots // SEGMENT_ALIGN) * SEGMENT_ALIGN, SEGMENT_ALIGN)
         if slots < max_pairs:
             tile_id_sorted = tile_id_sorted[:slots]
-            t_slot = t_slot[:slots]
+            if t_slot is not None:
+                t_slot = t_slot[:slots]
             overflowed = overflowed | (true_pairs > slots)
             total = jnp.minimum(total, slots)
             max_pairs = slots
+    if fuse_key:
+        t_slot = tile_id_sorted & jnp.int32((1 << tri_bits) - 1)
+        tile_id_sorted = tile_id_sorted >> tri_bits
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)

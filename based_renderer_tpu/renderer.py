@@ -1192,20 +1192,52 @@ class Renderer:
         draws = self._draws
         self._draws, self._in_frame = [], False
 
-        key = ("seq", self._cache_key(draws), return_frames, self._frame_clear[1])
+        # Sequence-constant data (mesh attributes, instance tables, static
+        # uniforms/textures) is CLOSURE-CAPTURED by the scanned program
+        # rather than passed as jit arguments: measured on v5e
+        # (tools/probe_seq.py, 1M-tri Blinn-Phong), the same scan costs
+        # 47.6 ms/frame with the mesh captured as compile-time constants
+        # but 71.4 ms/frame with it as jit parameters — XLA keeps
+        # loop-invariant relayout/copy work inside the scan for
+        # parameters that it folds away for constants.  Captured arrays
+        # are part of the program identity, so the cache key carries
+        # their object ids; the cached closure keeps them alive, which
+        # makes the ids collision-free while the entry exists.  Swapping
+        # in a new (same-shape) mesh or texture therefore compiles a new
+        # sequence program — render_sequence is the offline/animation
+        # batch path, where per-sequence compiles amortize.
+        base_dyn = self._dynamic_args(draws)
+        for d in base_dyn:
+            # Frame-0 uniforms are rebuilt per call (fresh arrays) and the
+            # scan body replaces them anyway — keep them out of the
+            # captured constants so their ids don't churn the cache key.
+            d.pop("uniforms")
+        stats = [
+            jax.tree.map(self._uniform_leaf, sd.get("static_uniforms") or {})
+            for sd in seq_draws
+        ]
+        const_ids = tuple(id(x) for x in jax.tree.leaves((base_dyn, stats)))
+        key = (
+            "seq",
+            self._cache_key(draws),
+            return_frames,
+            self._frame_clear[1],
+            const_ids,
+        )
         program = self._program_cache.get(key)
         if program is None:
             single = self._build_program(draws, self._frame_clear[1], jit=False)
 
-            def seq(dyn_seq, clear_color):
+            def seq(useqs, ticks, clear_color):
                 def body(carry, xs):
                     us, _ = xs
                     ds = []
-                    for i, d0 in enumerate(dyn_seq):
+                    for i, d0 in enumerate(base_dyn):
                         d = dict(d0)
-                        stat = d0["static_uniforms"]
                         u = us[i]
-                        d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
+                        d["uniforms"] = (
+                            {**stats[i], **u} if isinstance(u, dict) else u
+                        )
                         ds.append(d)
                     color, _depth_q, _tri_id, _stencil, of = single(ds, clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
@@ -1213,33 +1245,26 @@ class Renderer:
 
                 # The dummy ticks carry the frame count even when every
                 # uniforms tree is empty (e.g. the static triangle demo).
-                xs = (
-                    tuple(d0["uniforms_seq"] for d0 in dyn_seq),
-                    dyn_seq[0]["frame_ticks"],
+                overflowed, outs = jax.lax.scan(
+                    body, jnp.bool_(False), (useqs, ticks)
                 )
-                overflowed, outs = jax.lax.scan(body, jnp.bool_(False), xs)
                 return outs, overflowed
 
             program = jax.jit(seq)
             self._program_cache[key] = program
 
-        dyn = self._dynamic_args(draws)
         n = num_frames
-        for i, sd in enumerate(seq_draws):
-            dyn[i]["uniforms_seq"] = jax.tree.map(
-                self._uniform_leaf, sd["uniforms_seq"]
-            )
-            dyn[i]["static_uniforms"] = jax.tree.map(
-                self._uniform_leaf, sd.get("static_uniforms") or {}
-            )
+        useqs = []
+        for sd in seq_draws:
+            useqs.append(jax.tree.map(self._uniform_leaf, sd["uniforms_seq"]))
             leaves = jax.tree.leaves(sd["uniforms_seq"])
             if leaves:
                 n = leaves[0].shape[0]
         if n is None:
             raise FrameError("render_sequence needs num_frames when uniforms are empty")
-        dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
+        ticks = jnp.zeros((n,), jnp.int32)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        outs, overflowed = program(dyn, clear_color)
+        outs, overflowed = program(tuple(useqs), ticks, clear_color)
         # Pair-budget overflow across the whole sequence: raise in debug,
         # expose for callers (e.g. benchmarks validating their budgets).
         self.last_sequence_overflowed = overflowed

@@ -45,7 +45,13 @@ def main():
         return {k: v for k, v in uniforms(t).items() if k not in static}
 
     for ov in overrides:
-        pipe = dataclasses.replace(pipe0, **ov)
+        flat = {k: v for k, v in ov.items() if "." not in k}
+        pipe = dataclasses.replace(pipe0, **flat)
+        for k, v in ov.items():
+            if "." in k:  # nested dataclass field, e.g. "depth.clip"
+                outer, inner = k.split(".", 1)
+                sub = dataclasses.replace(getattr(pipe, outer), **{inner: v})
+                pipe = dataclasses.replace(pipe, **{outer: sub})
         t_small = time_sequence(r, pipe, mesh, dyn_uniforms, static, frames[0], inst)
         t_big = time_sequence(r, pipe, mesh, dyn_uniforms, static, frames[1], inst)
         ms = (t_big - t_small) / (frames[1] - frames[0]) * 1e3
