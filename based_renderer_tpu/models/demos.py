@@ -113,10 +113,12 @@ def instanced_demo(r: Renderer, count: int = 10_000):
     extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
 
     def uniforms(t):
-        eye = jnp.asarray(
-            [np.cos(t * 0.3) * extent, -extent * 0.6, np.sin(t * 0.3) * extent],
-            jnp.float32,
-        )
+        # jnp trig so the function stays traceable: every demo's uniforms
+        # fn can run device-side via render_sequence(uniforms_fn=...).
+        a = jnp.float32(t) * jnp.float32(0.3)
+        eye = jnp.stack(
+            [jnp.cos(a) * extent, jnp.float32(-extent * 0.6), jnp.sin(a) * extent]
+        ).astype(jnp.float32)
         view = math3d.look_at(eye, (0.0, 0.0, 0.0), (0.0, -1.0, 0.0))
         proj = math3d.perspective(np.radians(60.0), aspect, 0.1, extent * 4.0)
         return {"view": view, "proj": proj}

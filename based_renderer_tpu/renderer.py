@@ -1122,11 +1122,14 @@ class Renderer:
         self,
         pipeline: Pipeline,
         mesh: Mesh,
-        uniforms_seq,
+        uniforms_seq=None,
         instances=None,
         return_frames: bool = False,
         num_frames: int | None = None,
         static_uniforms=None,
+        uniforms_fn=None,
+        t0: float = 0.0,
+        dt: float = 1.0 / 60.0,
     ):
         """Render N frames in ONE device dispatch (lax.scan over uniforms).
 
@@ -1138,6 +1141,13 @@ class Renderer:
         Args:
           uniforms_seq: pytree whose leaves are stacked per-frame arrays
             with leading dimension N (e.g. {"model": (N, 4, 4), ...}).
+          uniforms_fn: alternative to ``uniforms_seq`` — a traceable
+            ``fn(t) -> uniforms dict`` evaluated ON DEVICE inside the
+            scan at ``t = t0 + dt * frame_index`` (the full device-side
+            analog of the reference's per-frame rotate_cube,
+            main.cpp:788-809).  Needs ``num_frames``.  The function
+            object is part of the compiled program's identity, so reuse
+            one fn across calls; t0/dt are traced (no recompiles).
           return_frames: if True, also return all color frames
             (N, H, W, 4) — memory-heavy; otherwise only per-frame
             checksums.
@@ -1150,12 +1160,15 @@ class Renderer:
                     "pipeline": pipeline,
                     "mesh": mesh,
                     "uniforms_seq": uniforms_seq,
+                    "uniforms_fn": uniforms_fn,
                     "instances": instances,
                     "static_uniforms": static_uniforms,
                 }
             ],
             num_frames=num_frames,
             return_frames=return_frames,
+            t0=t0,
+            dt=dt,
         )
 
     def render_sequence_multi(
@@ -1164,6 +1177,8 @@ class Renderer:
         *,
         num_frames: int | None = None,
         return_frames: bool = False,
+        t0: float = 0.0,
+        dt: float = 1.0 / 60.0,
     ):
         """Multi-draw ``render_sequence``: N frames of a recorded draw
         list in ONE device dispatch.
@@ -1176,16 +1191,32 @@ class Renderer:
         Args:
           seq_draws: list of dicts with keys
             pipeline, mesh, uniforms_seq (pytree of (N, ...) stacked
-            per-frame arrays), instances (optional), static_uniforms
-            (optional; shared across frames, e.g. textures).
+            per-frame arrays) OR uniforms_fn (traceable ``fn(t)`` run
+            on device at ``t = t0 + dt * frame_index``), instances
+            (optional), static_uniforms (optional; shared across
+            frames, e.g. textures).
+          t0, dt: the uniforms_fn time base; traced scalars, so varying
+            them does not recompile.
         Returns:
           checksums (N,) f32, or (checksums, colors) if return_frames.
         """
         self.begin_frame()
         # Validate via the normal draw path using frame 0's uniforms.
-        for sd in seq_draws:
+        fns = [sd.get("uniforms_fn") for sd in seq_draws]
+        for sd, fn in zip(seq_draws, fns):
             stat = sd.get("static_uniforms") or {}
-            u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
+            if fn is not None:
+                if sd.get("uniforms_seq"):
+                    raise FrameError(
+                        "pass either uniforms_seq or uniforms_fn, not both"
+                    )
+                u0 = fn(float(t0))
+            else:
+                if sd.get("uniforms_seq") is None:
+                    raise FrameError(
+                        "each sequence draw needs uniforms_seq or uniforms_fn"
+                    )
+                u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
             if isinstance(u0, dict):
                 u0 = {**stat, **u0}
             self.draw(sd["pipeline"], sd["mesh"], u0, sd.get("instances"))
@@ -1223,18 +1254,22 @@ class Renderer:
             return_frames,
             self._frame_clear[1],
             const_ids,
+            tuple(id(fn) if fn is not None else None for fn in fns),
         )
         program = self._program_cache.get(key)
         if program is None:
             single = self._build_program(draws, self._frame_clear[1], jit=False)
 
-            def seq(useqs, ticks, clear_color):
+            def seq(useqs, ticks, tb, clear_color):
                 def body(carry, xs):
-                    us, _ = xs
+                    us, tick = xs
                     ds = []
                     for i, d0 in enumerate(base_dyn):
                         d = dict(d0)
-                        u = us[i]
+                        if fns[i] is not None:
+                            u = fns[i](tb[0] + tb[1] * tick.astype(jnp.float32))
+                        else:
+                            u = us[i]
                         d["uniforms"] = (
                             {**stats[i], **u} if isinstance(u, dict) else u
                         )
@@ -1243,8 +1278,8 @@ class Renderer:
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
                     return carry | of, out
 
-                # The dummy ticks carry the frame count even when every
-                # uniforms tree is empty (e.g. the static triangle demo).
+                # The ticks carry the frame count (and index uniforms_fn
+                # draws) even when every uniforms tree is empty.
                 overflowed, outs = jax.lax.scan(
                     body, jnp.bool_(False), (useqs, ticks)
                 )
@@ -1255,16 +1290,18 @@ class Renderer:
 
         n = num_frames
         useqs = []
-        for sd in seq_draws:
-            useqs.append(jax.tree.map(self._uniform_leaf, sd["uniforms_seq"]))
-            leaves = jax.tree.leaves(sd["uniforms_seq"])
+        for sd, fn in zip(seq_draws, fns):
+            us = sd.get("uniforms_seq") if fn is None else None
+            useqs.append(jax.tree.map(self._uniform_leaf, us or {}))
+            leaves = jax.tree.leaves(us) if us is not None else []
             if leaves:
                 n = leaves[0].shape[0]
         if n is None:
             raise FrameError("render_sequence needs num_frames when uniforms are empty")
-        ticks = jnp.zeros((n,), jnp.int32)
+        ticks = jnp.arange(n, dtype=jnp.int32)
+        tb = jnp.asarray([t0, dt], jnp.float32)
         clear_color = jnp.asarray(self._frame_clear[0], jnp.float32)
-        outs, overflowed = program(tuple(useqs), ticks, clear_color)
+        outs, overflowed = program(tuple(useqs), ticks, tb, clear_color)
         # Pair-budget overflow across the whole sequence: raise in debug,
         # expose for callers (e.g. benchmarks validating their budgets).
         self.last_sequence_overflowed = overflowed

@@ -85,6 +85,40 @@ def test_render_sequence_cache_and_mesh_identity():
     assert not np.allclose(np.asarray(sums1), np.asarray(sums2))
 
 
+def test_render_sequence_uniforms_fn_matches_seq():
+    """Device-side uniforms (uniforms_fn traced into the scan) must render
+    the SAME frames as host-stacked uniforms_seq at the same times, for a
+    plain and an instanced demo (the latter exercises traced trig)."""
+    r = brt.Renderer(brt.RendererConfig(width=64, height=48))
+    for demo, inst_count in ((demos.cube_demo, None), (demos.instanced_demo, 16)):
+        if inst_count is None:
+            pipe, mesh, uniforms, inst = demo(r)
+        else:
+            pipe, mesh, uniforms, inst = demo(r, count=inst_count)
+        dt = 0.25
+        useq = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[uniforms(i * dt) for i in range(3)]
+        )
+        s_seq = np.asarray(r.render_sequence(pipe, mesh, useq, instances=inst))
+        s_fn = np.asarray(
+            r.render_sequence(
+                pipe, mesh, instances=inst,
+                uniforms_fn=uniforms, num_frames=3, t0=0.0, dt=dt,
+            )
+        )
+        np.testing.assert_allclose(s_fn, s_seq, rtol=2e-6)
+        # t0/dt are traced: shifting the phase must not grow the cache.
+        n0 = r.num_cached_programs
+        s_fn2 = np.asarray(
+            r.render_sequence(
+                pipe, mesh, instances=inst,
+                uniforms_fn=uniforms, num_frames=3, t0=0.1, dt=dt,
+            )
+        )
+        assert r.num_cached_programs == n0
+        assert not np.allclose(s_fn2, s_fn)
+
+
 def test_render_sequence_empty_uniforms_needs_count():
     r = brt.Renderer(brt.RendererConfig(width=32, height=32))
     pipe, mesh, uniforms, _ = demos.triangle_demo(r)
