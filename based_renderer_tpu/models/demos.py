@@ -155,6 +155,10 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         raster_sublane=True,
         raster_group=32,
         raster_tile=(128, 8),
+        # Fused Pallas record assembly: one streaming transpose+re-anchor
+        # pass instead of XLA's materialized relayout (measured on v5e:
+        # 55.96 -> 53.19 ms/frame at 1M tris, tools/quick_ab.py).
+        raster_assemble="pallas",
     )
     aspect = r.config.width / r.config.height
 

@@ -129,8 +129,7 @@ def bench_config(metric, demo, width, height, msaa, frames, dkw, base, kind):
     }
 
 
-def main():
-    import based_renderer_tpu  # noqa: F401  (fail fast before timing)
+def run_one(metric):
     from based_renderer_tpu.utils import cache
 
     if not os.environ.get("BRT_NO_CACHE"):
@@ -138,15 +137,42 @@ def main():
             cache.enable_persistent_cache()
         except Exception:
             pass
+    for cfg in CONFIGS:
+        if cfg[0] == metric:
+            return bench_config(*cfg)
+    raise SystemExit(f"unknown metric {metric!r}")
+
+
+def main():
+    # Long-lived TPU processes inflate later measurements (within-process
+    # drift, CLAUDE.md: trust only the first ~3 timed program variants per
+    # process — measured: instanced read 16.2 ms as this process's 4th
+    # config vs 14.0 ms fresh).  So each config is timed in its own fresh
+    # subprocess; the persistent compile cache keeps re-runs cheap.
+    import subprocess
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        print(json.dumps(run_one(sys.argv[2])), flush=True)
+        return
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
     results = []
     for cfg in CONFIGS:
         if only and only not in cfg[0]:
             continue
-        res = bench_config(*cfg)
-        results.append(res)
-        print(json.dumps(res), flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", cfg[0]],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode != 0 or line is None:
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            raise SystemExit(f"bench subprocess for {cfg[0]} failed")
+        results.append(json.loads(line))
+        print(line, flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.jsonl")
     with open(out, "w") as f:

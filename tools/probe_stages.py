@@ -98,6 +98,7 @@ def main():
                     if pipe.raster_slots_factor is None
                     else max(int(num_t * pipe.raster_slots_factor), 1024)
                 ),
+                assemble=pipe.raster_assemble,
             )
             if depth == 2:
                 # Feed the REAL kernel but with zeroed tile counts: the
