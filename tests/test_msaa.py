@@ -121,6 +121,20 @@ def test_msaa_sublane_matches_sequential(compare, group):
     np.testing.assert_array_equal(np.asarray(ws_), np.asarray(wb_))
 
 
+def test_msaa_sublane_no_depth_clip():
+    """depth_clip=False takes the sublane MSAA kernel's late-bias path
+    (the +2^29 plane bias hoisted out of the hot loop): per-sample
+    coverage and depth must stay bit-identical to the sequential MSAA
+    kernel."""
+    clip = random_clip(22, 30)
+    ts = setup_triangles(jnp.asarray(clip), W, H, bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP)
+    kw = dict(tile_w=128, tile_h=8, msaa4=True, interpret=True, depth_clip=False)
+    vs = rasterize_vis_pallas(ts, W, H, **kw)
+    vb = rasterize_vis_pallas(ts, W, H, sublane=True, **kw)
+    np.testing.assert_array_equal(np.asarray(vs.tri_id), np.asarray(vb.tri_id))
+    np.testing.assert_array_equal(np.asarray(vs.depth_q), np.asarray(vb.depth_q))
+
+
 def test_msaa_sublane_init_chain():
     """init= chaining through the sublane MSAA kernel matches one oracle
     pass over both draws."""
