@@ -133,11 +133,22 @@ def _triangle_templates(ts: TriSetup, id_offset, channels, perspective):
     ti_cols = [a[:, i] for i in range(3)] + [b[:, i] for i in range(3)]
     for i in range(3):
         ti_cols += [e[0][:, i], e[1][:, i]]
+    # id_offset: a scalar offsets draw-order ids (arange); a (T,) array
+    # gives each triangle its id directly (per-instance culling passes
+    # ORIGINAL pre-compaction ids so output tri_id/tie semantics are
+    # bit-identical — ops/cull.py).  The Pallas record assembly
+    # (ops/binassem.py) reads this template column, so both assembly
+    # paths inherit custom ids automatically.
+    ids = jnp.asarray(id_offset, jnp.int32)
+    if ids.ndim == 0:  # scalar offset (may be a traced scalar under jit)
+        tri_ids = jnp.arange(num_tris, dtype=jnp.int32) + ids
+    else:  # (T,) per-triangle ids
+        tri_ids = ids
     ti_cols += [
         ts.dzdx_q,
         ts.dzdy_q,
         ts.zshift,
-        jnp.arange(num_tris, dtype=jnp.int32) + jnp.int32(id_offset),
+        tri_ids,
         ts.zq[:, 0],
         ts.xf[:, 0],
         ts.yf[:, 0],

@@ -316,6 +316,19 @@ class Pipeline:
     # fragment multiply-adds differently in the two branches — same
     # class as cross-backend color tolerance; coverage/depth are exact).
     shade_compact: float | tuple | None = None
+    # Per-instance frustum culling (ops/cull.py): instanced draws run the
+    # vertex stage on each instance's 8 bounding-box corners, cull
+    # instances whose clip-space hull is conservatively outside the view
+    # volume, and compact survivors into ceil(instance_cull * I) slots
+    # BEFORE expansion — the vertex transform, setup, and binner sort all
+    # shrink to the budget.  Original triangle ids ride the raster
+    # records, so output coverage/depth/tri_id are bit-identical to the
+    # unculled draw; if visible instances exceed the budget the overflow
+    # is surfaced like a binner pair-budget breach.  Requires the vertex
+    # stage to be affine in "position" (true for all built-in shaders)
+    # and near_clip=False (the clipper re-orders the triangle stream).
+    # None = no culling.
+    instance_cull: float | None = None
     # Note: the sample count (MSAA) is a render-target property and lives in
     # RendererConfig, mirroring how dynamic rendering ties sample count to
     # the attachments rather than only the pipeline.
@@ -345,6 +358,10 @@ class Pipeline:
         if self.raster_assemble not in ("xla", "pallas"):
             raise ValueError(
                 f"raster_assemble must be 'xla' or 'pallas', got {self.raster_assemble!r}"
+            )
+        if self.instance_cull is not None and not (0.0 < self.instance_cull <= 1.0):
+            raise ValueError(
+                f"instance_cull must be in (0, 1], got {self.instance_cull}"
             )
         if self.shade_compact is not None:
             fracs = (

@@ -85,9 +85,11 @@ class FrameResult:
     """
 
     color_planar: jnp.ndarray  # (4, H, W) f32, device layout
-    # Visibility buffers.  msaa=1: (H, W).  msaa=4 on the Pallas backend:
-    # (4, H, W) per-sample layers (coverage-sample MSAA); on the XLA
-    # backend: (2H, 2W) supersampled.
+    # Visibility buffers.  msaa=1: (H, W).  msaa=4: (4, H, W) per-sample
+    # layers (coverage-sample MSAA) on BOTH backends — since round 3 the
+    # XLA backend uses the same coverage-MSAA layout as Pallas
+    # (raster_xla.rasterize_vis(msaa4=True)); bit-exact cross-backend
+    # (tests/test_msaa.py).
     depth_q: jnp.ndarray  # int32 quantized depth
     tri_id: jnp.ndarray  # int32
     # Stencil plane (same layout as depth_q), present only when a draw in
@@ -559,7 +561,48 @@ class Renderer:
                 stencil_state = pipe.stencil if pipe.stencil.enable else None
                 prev_stencil = vis.stencil if i > 0 else None
                 mesh = Mesh(attributes=d["attrs"], indices=d["indices"])
-                attrs, tri_idx = expand_instances(mesh, d["instances"])
+                inst = d["instances"]
+                # Per-instance frustum culling (Pipeline.instance_cull,
+                # ops/cull.py): compact provably-offscreen instances out of
+                # the stream BEFORE expansion, carrying ORIGINAL triangle
+                # ids through the raster records so coverage/depth/tri_id
+                # stay bit-identical.  Requires the Pallas backend
+                # (gather-free shading: the XLA paths gather varyings/setup
+                # rows by local tri id, which original ids would overrun)
+                # and no clipper (it re-orders the stream).
+                tri_ids_local = None  # (stream,) original ids, else arange
+                ntri_logical = None
+                if pipe.instance_cull is not None and inst:
+                    why = None
+                    if not use_pallas:
+                        why = "XLA raster backend (shading gathers by local id)"
+                    elif pipe.near_clip:
+                        why = "near_clip enabled (the clipper re-orders the stream)"
+                    if why is not None:
+                        self._signal_fallback(pipe, "instance_cull", why)
+                    else:
+                        from .ops.cull import compact_instances, instance_visibility
+
+                        import math
+
+                        num_inst = next(iter(inst.values())).shape[0]
+                        budget = max(
+                            int(math.ceil(num_inst * pipe.instance_cull)), 1
+                        )
+                        visible = instance_visibility(
+                            shaders[i], mesh, inst, d["uniforms"], rw, rh
+                        )
+                        inst, orig_idx, cull_of = compact_instances(
+                            inst, visible, budget
+                        )
+                        overflowed = overflowed | cull_of
+                        tpi = mesh.num_triangles
+                        ntri_logical = num_inst * tpi
+                        tri_ids_local = (
+                            orig_idx[:, None] * jnp.int32(tpi)
+                            + jnp.arange(tpi, dtype=jnp.int32)[None, :]
+                        ).reshape(-1)
+                attrs, tri_idx = expand_instances(mesh, inst)
                 clip, varyings = shaders[i].vertex(attrs, d["uniforms"])
                 clip_tri, var_tri = gather_triangles(clip, varyings, tri_idx)
                 if pipe.near_clip:
@@ -588,9 +631,23 @@ class Renderer:
                         k: jax.lax.dynamic_slice_in_dim(v, g_idx * per, per)
                         for k, v in var_tri.items()
                     }
-                    draw_id_offset = offset + g_idx * per
+                    if tri_ids_local is not None:
+                        # Padding rows are degenerate (zero clip -> dropped
+                        # in setup), so their id value never surfaces.
+                        if pad:
+                            tri_ids_local = jnp.pad(tri_ids_local, (0, pad))
+                        tri_ids_local = jax.lax.dynamic_slice_in_dim(
+                            tri_ids_local, g_idx * per, per
+                        )
+                        draw_id_offset = offset + tri_ids_local
+                    else:
+                        draw_id_offset = offset + g_idx * per
                 else:
-                    draw_id_offset = offset
+                    draw_id_offset = (
+                        offset
+                        if tri_ids_local is None
+                        else offset + tri_ids_local
+                    )
                 ts = setup_triangles(
                     clip_tri,
                     rw,
@@ -746,8 +803,13 @@ class Renderer:
                 # fragments contribute color wherever they passed the
                 # depth/stencil tests *at their point in the frame*, even
                 # if a later draw overwrites the pixel afterwards.
-                per_draw.append((ts, var_tri, offset, ntri_draw, interp, invw, vis))
-                offset += ntri_draw
+                # With instance culling the draw's LOGICAL id range spans
+                # the original (pre-compaction) triangle count — pass-2
+                # masks and the next draw's id base use it, so ids never
+                # collide across draws.
+                ntri_ids = ntri_draw if ntri_logical is None else ntri_logical
+                per_draw.append((ts, var_tri, offset, ntri_ids, interp, invw, vis))
+                offset += ntri_ids
 
             # Pass 2: deferred shading + blend composite, one pass per draw.
             # Color is planar (4, rh, rw) on device (see _blend docstring);
