@@ -322,29 +322,36 @@ class TiledRenderer:
         self,
         pipeline,
         scene_mesh,
-        uniforms_seq,
+        uniforms_seq=None,
         instances=None,
         return_frames: bool = False,
         num_frames: int | None = None,
         static_uniforms=None,
+        uniforms_fn=None,
+        t0: float = 0.0,
+        dt: float = 1.0 / 60.0,
     ):
         """N frames in ONE sharded dispatch (lax.scan inside shard_map) —
         the same batched animation schedule as Renderer.render_sequence,
-        on the multi-chip path.  Returns (N,) global checksums (psum over
-        the mesh), plus sharded (N, 4, H, W) planar frames when
-        ``return_frames``."""
+        on the multi-chip path, including device-side ``uniforms_fn``
+        uniforms (``fn(t)`` traced at ``t = t0 + dt * frame_index``).
+        Returns (N,) global checksums (psum over the mesh), plus sharded
+        (N, 4, H, W) planar frames when ``return_frames``."""
         return self.render_sequence_multi(
             [
                 {
                     "pipeline": pipeline,
                     "mesh": scene_mesh,
                     "uniforms_seq": uniforms_seq,
+                    "uniforms_fn": uniforms_fn,
                     "instances": instances,
                     "static_uniforms": static_uniforms,
                 }
             ],
             num_frames=num_frames,
             return_frames=return_frames,
+            t0=t0,
+            dt=dt,
         )
 
     def render_sequence_multi(
@@ -353,13 +360,35 @@ class TiledRenderer:
         *,
         num_frames: int | None = None,
         return_frames: bool = False,
+        t0: float = 0.0,
+        dt: float = 1.0 / 60.0,
     ):
-        """Multi-draw sharded ``render_sequence`` (see Renderer's)."""
+        """Multi-draw sharded ``render_sequence`` (see Renderer's).
+
+        Each sequence draw takes either ``uniforms_seq`` (host-stacked
+        (N, ...) arrays) or ``uniforms_fn`` (a traceable ``fn(t)``
+        evaluated on every shard inside the scan — same schedule as the
+        single-chip flagship bench).  ``t0``/``dt`` are traced scalars.
+        """
+        from ..utils.errors import FrameError
+
         inner = self._inner
         self.begin_frame()
-        for sd in seq_draws:
+        fns = [sd.get("uniforms_fn") for sd in seq_draws]
+        for sd, fn in zip(seq_draws, fns):
             stat = sd.get("static_uniforms") or {}
-            u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
+            if fn is not None:
+                if sd.get("uniforms_seq"):
+                    raise FrameError(
+                        "pass either uniforms_seq or uniforms_fn, not both"
+                    )
+                u0 = fn(float(t0))
+            else:
+                if sd.get("uniforms_seq") is None:
+                    raise FrameError(
+                        "each sequence draw needs uniforms_seq or uniforms_fn"
+                    )
+                u0 = jax.tree.map(lambda x: x[0], sd["uniforms_seq"])
             if isinstance(u0, dict):
                 u0 = {**stat, **u0}
             self.draw(sd["pipeline"], sd["mesh"], u0, sd.get("instances"))
@@ -372,33 +401,33 @@ class TiledRenderer:
             return_frames,
             inner._frame_clear[1],
             self.geometry_axis,
+            tuple(id(fn) if fn is not None else None for fn in fns),
         )
         program = self._program_cache.get(key)
         if program is None:
             program = self._build_sharded_seq_program(
-                draws, inner._frame_clear[1], return_frames
+                draws, inner._frame_clear[1], return_frames, fns
             )
             self._program_cache[key] = program
 
         dyn = inner._dynamic_args(draws)
         n = num_frames
-        for i, sd in enumerate(seq_draws):
-            dyn[i]["uniforms_seq"] = jax.tree.map(
-                inner._uniform_leaf, sd["uniforms_seq"]
-            )
+        for i, (sd, fn) in enumerate(zip(seq_draws, fns)):
+            us = sd.get("uniforms_seq") if fn is None else None
+            dyn[i]["uniforms_seq"] = jax.tree.map(inner._uniform_leaf, us or {})
             dyn[i]["static_uniforms"] = jax.tree.map(
                 inner._uniform_leaf, sd.get("static_uniforms") or {}
             )
-            leaves = jax.tree.leaves(sd["uniforms_seq"])
+            leaves = jax.tree.leaves(us) if us is not None else []
             if leaves:
                 n = leaves[0].shape[0]
         if n is None:
-            from ..utils.errors import FrameError
-
             raise FrameError(
                 "render_sequence needs num_frames when uniforms are empty"
             )
-        dyn[0]["frame_ticks"] = jnp.zeros((n,), jnp.int32)
+        # Ticks both carry the frame count and index uniforms_fn draws.
+        dyn[0]["frame_ticks"] = jnp.arange(n, dtype=jnp.int32)
+        dyn[0]["time_base"] = jnp.asarray([t0, dt], jnp.float32)
         clear_color = jnp.asarray(inner._frame_clear[0], jnp.float32)
         outs, overflowed = program(dyn, clear_color)
         self.last_sequence_overflowed = overflowed
@@ -411,7 +440,7 @@ class TiledRenderer:
             )
         return outs
 
-    def _build_sharded_seq_program(self, draws, clear_depth, return_frames):
+    def _build_sharded_seq_program(self, draws, clear_depth, return_frames, fns):
         inner = self._inner
         mesh = self.mesh
         all_axes = tuple(mesh.axis_names)
@@ -420,13 +449,18 @@ class TiledRenderer:
         )
 
         def shard_seq(dyn_seq, clear_color):
+            tb = dyn_seq[0]["time_base"]
+
             def body(carry, xs):
-                us, _ = xs
+                us, tick = xs
                 ds = []
                 for i, d0 in enumerate(dyn_seq):
                     d = dict(d0)
                     stat = d0["static_uniforms"]
-                    u = us[i]
+                    if fns[i] is not None:
+                        u = fns[i](tb[0] + tb[1] * tick.astype(jnp.float32))
+                    else:
+                        u = us[i]
                     d["uniforms"] = {**stat, **u} if isinstance(u, dict) else u
                     ds.append(d)
                 color, _dq, _tid, _st, of = frame(ds, clear_color)

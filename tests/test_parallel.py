@@ -301,3 +301,27 @@ def test_tiled_render_sequence_matches():
     np.testing.assert_allclose(
         np.asarray(frames_t), np.asarray(frames_s), atol=1e-5
     )
+
+
+def test_tiled_render_sequence_uniforms_fn_matches():
+    """Device-side uniforms (uniforms_fn/t0/dt) on the tiled path: global
+    checksums must match single-device render_sequence running the SAME
+    uniforms_fn schedule (round-4 parity item — the multi-chip path runs
+    the exact schedule the flagship bench uses)."""
+    cfg = brt.RendererConfig(width=W, height=H, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, _ = demos.cube_demo(r)
+    t0, dt, n = 0.25, 0.037, 4
+    sums_s = r.render_sequence(
+        pipe, mesh, uniforms_fn=uniforms, num_frames=n, t0=t0, dt=dt
+    )
+
+    tr = TiledRenderer(cfg, mesh_2d(2, 4))
+    sums_t = tr.render_sequence(
+        pipe, mesh, uniforms_fn=uniforms, num_frames=n, t0=t0, dt=dt
+    )
+    got_s, got_t = np.asarray(sums_s), np.asarray(sums_t)
+    assert got_s.shape == (n,)
+    # Frames must be distinct (the schedule actually advanced time).
+    assert len(set(np.round(got_s, 3))) == n
+    np.testing.assert_allclose(got_t, got_s, rtol=1e-5)
