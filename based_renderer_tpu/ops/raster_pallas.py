@@ -797,6 +797,10 @@ def _raster_kernel_sublane(
     # finalize re-biases once per tile — one fewer vector add per
     # (row, group) step.  Bitwise identical: (clip(Z)<<zsh) + 2^29 is the
     # same int32 whether the add happens per row or at finalize.
+    # NOTE: Depth.clip defaults to True (pipeline.py), so every default
+    # pipeline (and all headline benchmarks) takes the depth-clip fold
+    # path and this hoist stays dormant; it engages only for pipelines
+    # that explicitly disable depth clip.
     late_bias = not depth_clip
 
     ftid = ftid_col(num_channels)
@@ -918,8 +922,11 @@ def _raster_kernel_sublane(
                 # ops in the hot loop.  A sent (uncovered) zk can only
                 # "beat" a slot that is itself still sent (under the
                 # *_equal compares), which the finalize excludes anyway;
-                # real depths never equal the sentinel (|z - 2^29| is
-                # bounded by 2^29 + 2^zshift by the clamp above).
+                # real depths never equal the sentinel: with the bias
+                # applied in-loop |z - 2^29| <= 2^29 + 2^zshift, and in
+                # the late_bias (unbiased) domain |z| <= 2^29 + 2^zshift
+                # — both bounded away from +/-(2^31 - 1) by the clamp
+                # above.
                 az = accz[y]
                 take = better(zk, az)
                 accz[y] = jnp.where(take, zk, az)

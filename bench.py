@@ -1,15 +1,15 @@
 #!/usr/bin/env python
 """Benchmark: every BASELINE config on one TPU chip, elision-proof.
 
-Emits ONE JSON line per config (and writes them all to
-``bench_results.jsonl``), with the flagship metric LAST:
+Emits ONE JSON line per config, STREAMED to ``bench_results.jsonl`` as
+each finishes (a driver timeout mid-run still leaves every completed
+metric on disk), bar-critical configs first.  The flagship line
 
     {"metric": "cube_1080p_fps", "value": N, "unit": "fps", "vs_baseline": N/1000}
 
-so a driver that records only the final line still gets the headline
-number, while the full per-config history is in the preceding lines and
-the .jsonl file (``tools/gen_readme_table.py`` regenerates README's
-measured table from it).
+is reprinted as the final stdout line so a driver that records only the
+last line still gets the headline number.  ``tools/gen_readme_table.py``
+regenerates README's measured table from the .jsonl.
 
 Method (the only honest one on this tunnel — see CLAUDE.md): frames are
 rendered device-side as batched sequences (``Renderer.render_sequence``,
@@ -34,15 +34,22 @@ import numpy as np
 
 # (metric, demo, width, height, msaa, (n_small, n_big), demo_kwargs,
 #  baseline_ms, baseline_kind)
+#
+# Order: the bar-critical metrics FIRST, so a driver whose time budget
+# expires mid-run still captured the numbers that prove the done-bars
+# (round-3 lesson: BENCH_r03.json hit rc=124 with the 4K bar and the
+# flagship FPS ordered last and therefore never recorded).  The flagship
+# line is REPRINTED (not re-timed) at the very end for drivers that keep
+# only the final stdout line.
 CONFIGS = [
+    ("bigmesh_1m_4k_msaa4_ms", "big_mesh", 3840, 2160, 4, (1, 4), {"triangles": 1_000_000}, 200.0, "bar_ms"),
+    ("cube_1080p_fps", "cube", 1920, 1080, 1, (8, 256), {}, None, "north_star_fps"),
+    ("bigmesh_1m_1080p_ms", "big_mesh", 1920, 1080, 1, (2, 8), {"triangles": 1_000_000}, 60.0, "bar_ms"),
     ("msaa4_cube_1080p_ms", "cube", 1920, 1080, 4, (16, 96), {}, 1.03, "round2_ms"),
     ("textured_cube_1080p_ms", "textured_cube", 1920, 1080, 1, (8, 40), {}, 7.0, "bar_ms"),
     ("instanced_10k_1080p_ms", "instanced", 1920, 1080, 1, (4, 20), {"count": 10_000}, 15.7, "round2_ms"),
-    ("bigmesh_1m_1080p_ms", "big_mesh", 1920, 1080, 1, (2, 8), {"triangles": 1_000_000}, 60.0, "bar_ms"),
-    ("bigmesh_1m_4k_msaa4_ms", "big_mesh", 3840, 2160, 4, (1, 4), {"triangles": 1_000_000}, 200.0, "bar_ms"),
-    # Flagship LAST (drivers that keep only the final line get this one).
-    ("cube_1080p_fps", "cube", 1920, 1080, 1, (8, 256), {}, None, "north_star_fps"),
 ]
+FLAGSHIP = "cube_1080p_fps"
 
 
 def time_sequence(r, pipe, mesh, uniforms, static, n_frames, instances=None, reps=3):
@@ -156,7 +163,14 @@ def main():
         return
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
-    results = []
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.jsonl")
+    # Stream: truncate once, then append + flush each metric the moment
+    # its subprocess returns, so a timeout mid-run still leaves every
+    # completed metric on disk (round-3 lesson: the all-at-the-end write
+    # left zero artifacts from the timed-out driver run).
+    if not only:
+        open(out, "w").close()
+    flagship_line = None
     for cfg in CONFIGS:
         if only and only not in cfg[0]:
             continue
@@ -171,13 +185,16 @@ def main():
         if proc.returncode != 0 or line is None:
             sys.stderr.write(proc.stderr[-2000:] + "\n")
             raise SystemExit(f"bench subprocess for {cfg[0]} failed")
-        results.append(json.loads(line))
         print(line, flush=True)
-
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.jsonl")
-    with open(out, "w") as f:
-        for res in results:
-            f.write(json.dumps(res) + "\n")
+        if not only:
+            with open(out, "a") as f:
+                f.write(line + "\n")
+                f.flush()
+        if cfg[0] == FLAGSHIP:
+            flagship_line = line
+    if flagship_line is not None and not only:
+        # Reprint (same measurement) so "the final line" is the flagship.
+        print(flagship_line, flush=True)
 
 
 if __name__ == "__main__":

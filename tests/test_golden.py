@@ -39,12 +39,19 @@ def _check(key, frame):
         "depth_q": _hash(np.asarray(frame.depth_q)),
         "color": _hash(frame.color_u8()),
     }
-    if UPDATE or key not in goldens:
+    if UPDATE:
         goldens[key] = got
         with open(GOLDEN_PATH, "w") as f:
             json.dump(goldens, f, indent=2, sort_keys=True)
-        if not UPDATE:
-            pytest.skip(f"golden for {key} recorded; re-run to verify")
+    elif key not in goldens:
+        # A missing key must FAIL, never silently record the current
+        # output as golden (a bug would become the golden).  Record
+        # intentionally with BRT_UPDATE_GOLDENS=1.
+        pytest.fail(
+            f"no golden recorded for {key!r}; if this case is new or "
+            f"golden_hashes.json was lost, regenerate deliberately with "
+            f"BRT_UPDATE_GOLDENS=1 python -m pytest tests/test_golden.py"
+        )
     assert goldens[key] == got, f"golden mismatch for {key}: {goldens[key]} vs {got}"
 
 
