@@ -790,18 +790,33 @@ def _raster_kernel_sublane(
             return (z_new < z_old) if strict else (z_new <= z_old)
         return (z_new > z_old) if strict else (z_new >= z_old)
 
-    # With the depth-clip fold disabled, the +2^29 plane bias commutes out
-    # of the hot loop: every accumulator compare is monotone under a
-    # constant shift (and equalities are preserved, so tie semantics are
-    # untouched), so pass 1 accumulates UNBIASED shifted depths and the
-    # finalize re-biases once per tile — one fewer vector add per
-    # (row, group) step.  Bitwise identical: (clip(Z)<<zsh) + 2^29 is the
-    # same int32 whether the add happens per row or at finalize.
-    # NOTE: Depth.clip defaults to True (pipeline.py), so every default
-    # pipeline (and all headline benchmarks) takes the depth-clip fold
-    # path and this hoist stays dormant; it engages only for pipelines
-    # that explicitly disable depth clip.
-    late_bias = not depth_clip
+    # The +2^29 plane bias commutes out of the hot loop for every mode
+    # except depth_clip="clamp": every accumulator compare is monotone
+    # under a constant shift (and equalities are preserved, so tie
+    # semantics are untouched), so pass 1 accumulates UNBIASED shifted
+    # depths and the finalize re-biases once per tile.  Bitwise
+    # identical: (Z<<zsh) + 2^29 is the same int32 whether the add
+    # happens per row or at finalize.
+    #
+    # Under depth_clip=True (the default), the clip test additionally
+    # moves to the PRE-SHIFT domain, dropping the per-row value clamp:
+    # z_q in [0, Q]  <=>  z_u<<s in [-2^29, 2^29]  <=>  z_u in
+    # [-mid, mid] with mid = 2^29 >> s (s low bits of z_u<<s are zero
+    # and mid is exactly divisible, so the shifted and unshifted window
+    # tests agree exactly).  In-window pixels need no clamp (|z_u| <=
+    # mid => the shift is exact), and out-of-window pixels fail the
+    # window test and are masked — exactly the pixels the old
+    # clamp-then-fold chain masked (the clamp boundary values +-(mid+1)
+    # always land outside [0, Q]).  The test (Z + mid) | (mid - Z) >= 0
+    # cannot be fooled by int32 wrap: |Z| <= 2^30 + 2^29 (+ the MSAA
+    # sample delta < 2^21, spec fixedpoint.py) and mid <= 2^29, so a
+    # wrap only occurs past +-2^31, i.e. for |Z| > 3*2^29 - mid > mid —
+    # genuinely out-of-window — and the wrapped value is always
+    # negative (range [2^31, 2^31 + 2^21] wraps onto [-2^31, -2^31 +
+    # 2^21]), so wrapping can only mask, never unmask.  Net: the clamp's
+    # min+max disappear from the hot loop (2 ops per (row, sample)).
+    late_bias = depth_clip != "clamp"
+    clip_window = bool(depth_clip) and depth_clip != "clamp"
 
     ftid = ftid_col(num_channels)
     nout = 6 + num_channels
@@ -888,7 +903,8 @@ def _raster_kernel_sublane(
             ay0 = jnp.where(inr, f(6), 0)
             ay1, ay2, dzy = f(7), f(8), f(11)
             zsh = f(12)
-            hi_clamp = jnp.right_shift(jnp.int32(1 << 29), zsh) + jnp.int32(1)
+            mid = jnp.right_shift(jnp.int32(1 << 29), zsh)
+            hi_clamp = mid + jnp.int32(1)
             # Row state carried across the loop: E_i and Z already include
             # the per-lane x term, so each row costs four adds to advance
             # instead of re-evaluating the planes (~30% fewer pass-1 ops).
@@ -899,20 +915,22 @@ def _raster_kernel_sublane(
             Q = jnp.int32(fp.DEPTH_ONE_Q)
             rec_abs = rec_i + c * CHUNK  # (8, 1) absolute record indices
             for y in range(tile_h):
-                z = jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
-                if not late_bias:
-                    z = z + jnp.int32(1 << 29)
                 # all-non-negative == the OR of the three has a clear sign
                 # bit (exactly the 3-compare AND, two ops cheaper).
                 m = (E0 | E1) | E2
-                if depth_clip == "clamp":
-                    z = jnp.clip(z, 0, Q)
-                elif depth_clip:
-                    # z in [0, Q] iff neither z nor Q - z is negative —
-                    # folded into the coverage sign test (two compares and
-                    # two ands per row cheaper; Q - z cannot overflow: the
-                    # clamp above bounds |z - 2^29| by 2^29 + 2^zshift).
-                    m = m | (z | (Q - z))
+                if clip_window:
+                    # Depth clip in the pre-shift domain (see late_bias
+                    # comment above): in-window iff Z in [-mid, mid],
+                    # folded into the coverage sign test; in-window
+                    # pixels shift exactly with no clamp.
+                    m = m | ((Z + mid) | (mid - Z))
+                    z = jnp.left_shift(Z, zsh)
+                else:
+                    z = jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
+                    if not late_bias:
+                        z = z + jnp.int32(1 << 29)
+                    if depth_clip == "clamp":
+                        z = jnp.clip(z, 0, Q)
                 if scissor is not None:
                     y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
                     zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
@@ -922,11 +940,11 @@ def _raster_kernel_sublane(
                 # ops in the hot loop.  A sent (uncovered) zk can only
                 # "beat" a slot that is itself still sent (under the
                 # *_equal compares), which the finalize excludes anyway;
-                # real depths never equal the sentinel: with the bias
-                # applied in-loop |z - 2^29| <= 2^29 + 2^zshift, and in
-                # the late_bias (unbiased) domain |z| <= 2^29 + 2^zshift
-                # — both bounded away from +/-(2^31 - 1) by the clamp
-                # above.
+                # real (selected) depths never equal the sentinel: under
+                # clip_window winners are in-window so |z| <= 2^29; with
+                # the bias applied in-loop |z - 2^29| <= 2^29 + 2^zshift
+                # and in the clamped late_bias domain |z| <= 2^29 +
+                # 2^zshift — all bounded away from +/-(2^31 - 1).
                 az = accz[y]
                 take = better(zk, az)
                 accz[y] = jnp.where(take, zk, az)
@@ -1103,11 +1121,15 @@ def _raster_kernel_msaa4_sublane(
             return (z_new < z_old) if strict else (z_new <= z_old)
         return (z_new > z_old) if strict else (z_new >= z_old)
 
-    # Same late-bias hoist as _raster_kernel_sublane (see its comment):
-    # without the depth-clip fold, pass 1 accumulates unbiased shifted
-    # depths and the finalize re-biases — here it saves one vector add per
-    # (row, SAMPLE) step, 4x the 1x kernel's cut.
-    late_bias = not depth_clip
+    # Same late-bias hoist + pre-shift clip window as
+    # _raster_kernel_sublane (see its comment for the proof, including
+    # the wrap analysis with the MSAA per-sample depth delta < 2^21):
+    # pass 1 accumulates unbiased shifted depths, the default
+    # depth_clip=True tests the window on the pre-shift value with no
+    # clamp, and the finalize re-biases — saving (clamp min+max + bias
+    # add) per (row, SAMPLE) step, 4x the 1x kernel's cut.
+    late_bias = depth_clip != "clamp"
+    clip_window = bool(depth_clip) and depth_clip != "clamp"
 
     ftid = ftid_col(num_channels)
     nout = 6 + num_channels
@@ -1191,7 +1213,8 @@ def _raster_kernel_msaa4_sublane(
             ay0 = jnp.where(inr, f(6), 0)
             ay1, ay2, dzy = f(7), f(8), f(11)
             zsh = f(12)
-            hi_clamp = jnp.right_shift(jnp.int32(1 << 29), zsh) + jnp.int32(1)
+            mid = jnp.right_shift(jnp.int32(1 << 29), zsh)
+            hi_clamp = mid + jnp.int32(1)
             # Per-sample scalar offsets and depth deltas, once per group
             # (amortized over the tile_h row loop).
             dzx = f(10)
@@ -1213,15 +1236,18 @@ def _raster_kernel_msaa4_sublane(
                     y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
                 for s, (o0, o1, o2, dz) in enumerate(offs):
                     m = ((E0 + o0) | (E1 + o1)) | (E2 + o2)
-                    z = jnp.left_shift(
-                        jnp.clip(Z + dz, -hi_clamp, hi_clamp), zsh
-                    )
-                    if not late_bias:
-                        z = z + jnp.int32(1 << 29)
-                    if depth_clip == "clamp":
-                        z = jnp.clip(z, 0, Q)
-                    elif depth_clip:
-                        m = m | (z | (Q - z))
+                    Zs = Z + dz
+                    if clip_window:
+                        m = m | ((Zs + mid) | (mid - Zs))
+                        z = jnp.left_shift(Zs, zsh)
+                    else:
+                        z = jnp.left_shift(
+                            jnp.clip(Zs, -hi_clamp, hi_clamp), zsh
+                        )
+                        if not late_bias:
+                            z = z + jnp.int32(1 << 29)
+                        if depth_clip == "clamp":
+                            z = jnp.clip(z, 0, Q)
                     if scissor is not None:
                         zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
                     else:

@@ -109,6 +109,68 @@ def check_bit_identity():
     print(f"sublane mosaic: {l_ok}", flush=True)
     ok &= l_ok
 
+    # Sublane coverage-MSAA kernel under compiled Mosaic (the widened
+    # one-hot matmul + per-sample accumulators).
+    vms = rasterize_vis_pallas(ts, W, H, tile_h=8, sublane=True, msaa4=True)
+    ms_ok = np.array_equal(np.asarray(vms.tri_id), om["tri_id"]) and np.array_equal(
+        np.asarray(vms.depth_q), om["depth_q"]
+    )
+    print(f"msaa4 sublane mosaic: {ms_ok}", flush=True)
+    ok &= ms_ok
+
+    # depth_clip=False (late_bias) in BOTH sublane kernels under compiled
+    # Mosaic: the unbiased accumulation domain is a different int32 code
+    # path than the default depth-clip fold (raster_pallas.py late_bias),
+    # so prove it against the oracle with z spilling outside [0, 1].
+    zc = rng.uniform(-0.25, 1.25, size=(n, 3, 1)).astype(np.float32) * w
+    clip_c = np.concatenate([xy, zc, w], -1).astype(np.float32)
+    ts_c = setup_triangles(jnp.asarray(clip_c), W, H)
+    o_c = oracle.rasterize(clip_c, W, H, depth_clip=False)
+    vl_c = rasterize_vis_pallas(ts_c, W, H, tile_h=8, sublane=True, depth_clip=False)
+    c_ok = np.array_equal(np.asarray(vl_c.tri_id), o_c["tri_id"]) and np.array_equal(
+        np.asarray(vl_c.depth_q), o_c["depth_q"]
+    )
+    print(f"sublane late_bias mosaic: {c_ok}", flush=True)
+    ok &= c_ok
+    ts_cm = setup_triangles(
+        jnp.asarray(clip_c), W, H, bbox_pad_fp=fp.MSAA4_BBOX_PAD_FP
+    )
+    o_cm = oracle.rasterize_msaa4(clip_c, W, H, depth_clip=False)
+    vm_c = rasterize_vis_pallas(
+        ts_cm, W, H, tile_h=8, sublane=True, msaa4=True, depth_clip=False
+    )
+    cm_ok = np.array_equal(np.asarray(vm_c.tri_id), o_cm["tri_id"]) and np.array_equal(
+        np.asarray(vm_c.depth_q), o_cm["depth_q"]
+    )
+    print(f"msaa4 sublane late_bias mosaic: {cm_ok}", flush=True)
+    ok &= cm_ok
+
+    # Per-instance culling end-to-end on the real backend: culled frame
+    # must be bit-identical (tri_id/depth_q) to the unculled one.
+    import dataclasses
+
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+
+    cfg = brt.RendererConfig(width=256, height=128, raster_backend="pallas")
+    r = brt.Renderer(cfg)
+    pipe, mesh, uniforms, inst = demos.instanced_demo(r, count=512)
+    # The demo's 0.85 budget is measured for its 10k layout; this 512-cube
+    # slice is ~86% visible at t=0.7, so give the check its own headroom.
+    pipe = dataclasses.replace(pipe, instance_cull=0.95)
+    u = uniforms(0.7)
+    base = r.render_frame(
+        dataclasses.replace(pipe, instance_cull=None), mesh, u, instances=inst
+    )
+    culled = r.render_frame(pipe, mesh, u, instances=inst)
+    cu_ok = (
+        not bool(np.asarray(culled.overflowed))
+        and np.array_equal(np.asarray(base.tri_id), np.asarray(culled.tri_id))
+        and np.array_equal(np.asarray(base.depth_q), np.asarray(culled.depth_q))
+    )
+    print(f"instance_cull bit-identity: {cu_ok}", flush=True)
+    ok &= cu_ok
+
     print("TPU BIT-IDENTITY:", "PASS" if ok else "FAIL", flush=True)
     return ok
 
