@@ -85,6 +85,34 @@ def textured_cube_demo(r: Renderer):
     return pipe, mesh, uniforms, None
 
 
+def textured_fullscreen_demo(r: Renderer):
+    """Full-screen textured quad (sky/background tier of BASELINE
+    config 3): EVERY pixel takes a texture tap, so compacted shading has
+    nothing to skip — this is the sampler-floor workload the covered-tile
+    compaction of textured_cube deliberately avoids.  Frames scroll the
+    UVs so benchmark sequences stay elision-proof."""
+    data = geometry.fullscreen_quad_data()
+    mesh = r.upload_mesh(data["positions"], uv=data["uv"])
+    tex = r.upload_texture(geometry.checkerboard_texture(), mipmaps=True)
+    pipe = Pipeline(
+        shader="textured_fullscreen",
+        depth=DepthState(test=False, write=False),
+    )
+
+    def uniforms(t):
+        return {
+            "texture": tex,
+            "uv_offset": jnp.stack(
+                [jnp.float32(t) * 0.11, jnp.float32(t) * 0.07]
+            ),
+            # See _textured_fullscreen_fs: keeps per-frame checksums
+            # distinct (a scrolled periodic texture sums shift-invariant).
+            "tint": jnp.float32(0.9) + jnp.float32(0.1) * jnp.sin(jnp.float32(t)),
+        }
+
+    return pipe, mesh, uniforms, None
+
+
 def instanced_demo(r: Renderer, count: int = 10_000):
     """BASELINE config 4: a field of instanced cubes."""
     data = geometry.cube_mesh_data()
@@ -149,10 +177,21 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
         # ~half the slots.  At 4K the same triangles span more tiles
         # (tools/count_pairs.py: worst 0.842 pairs/tri at 4K MSAA-4x vs
         # 0.560 at 1080p), so widen both budgets with the framebuffer.
-        # Overflow is surfaced if a view ever exceeds them.
+        # Overflow is surfaced if a view ever exceeds them.  The tight
+        # factors are measured for ~1M tiny triangles; at toy triangle
+        # counts (tests, small demos) each triangle spans more tiles, so
+        # fall back to the generous defaults there.
         near_clip=False,
-        raster_pairs_factor=1.15 if r.config.width <= 2560 else 1.4,
-        raster_slots_factor=0.7 if r.config.width <= 2560 else 1.0,
+        raster_pairs_factor=(
+            (1.15 if r.config.width <= 2560 else 1.4)
+            if triangles >= 100_000
+            else 4.0
+        ),
+        raster_slots_factor=(
+            (0.7 if r.config.width <= 2560 else 1.0)
+            if triangles >= 100_000
+            else None
+        ),
         # 1M-record scenes are kernel- and binner-bound: sublane-parallel
         # raster kernel on short tiles, 32-record groups (measured on v5e:
         # group 8 -> 32 cuts the 1M-tri 1080p frame ~10 ms by amortizing
@@ -187,6 +226,7 @@ DEMOS = {
     "triangle": triangle_demo,
     "cube": cube_demo,
     "textured_cube": textured_cube_demo,
+    "textured_fullscreen": textured_fullscreen_demo,
     "instanced": instanced_demo,
     "big_mesh": big_mesh_demo,
 }

@@ -25,6 +25,25 @@ def triangle_mesh_data():
     return {"positions": positions, "color": colors}
 
 
+def fullscreen_quad_data(uv_tiles: float = 4.0):
+    """Two NDC triangles covering the whole screen, with tiled UVs.
+
+    The worst-case texture workload: EVERY pixel samples (no compaction
+    escape hatch) — the floor the textured tier of BASELINE config 3
+    would hit on a sky/background pass.
+    """
+    corners = {
+        "bl": ((-1.0, 1.0, 0.5), (0.0, uv_tiles)),
+        "br": ((1.0, 1.0, 0.5), (uv_tiles, uv_tiles)),
+        "tr": ((1.0, -1.0, 0.5), (uv_tiles, 0.0)),
+        "tl": ((-1.0, -1.0, 0.5), (0.0, 0.0)),
+    }
+    order = ["bl", "br", "tr", "bl", "tr", "tl"]
+    positions = np.array([corners[k][0] for k in order], np.float32)
+    uv = np.array([corners[k][1] for k in order], np.float32)
+    return {"positions": positions, "uv": uv}
+
+
 def cube_mesh_data(size: float = 1.0):
     """Unit cube centered at origin, 6 faces x 2 triangles, non-indexed
     (the cube.slang:12-61 vertex ordering: -Z, +Z, -X, +X, -Y, +Y faces),

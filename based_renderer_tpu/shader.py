@@ -142,6 +142,42 @@ def _ndc_color_vs(attrs, uniforms):
 register(Shader("ndc_color", _ndc_color_vs, _vertex_color_fs, attributes=("color",)))
 
 
+def _textured_fullscreen_vs(attrs, uniforms):
+    clip, _ = _passthrough_vs(attrs, uniforms)
+    # Per-frame UV scroll keeps benchmark frames distinct (elision-proof)
+    # and exercises the sampler across the whole mip chain footprint.
+    uv = attrs["uv"] + uniforms.get("uv_offset", jnp.zeros((2,), jnp.float32))
+    return clip, {"uv": uv}
+
+
+def _textured_fullscreen_fs(frag, uniforms):
+    """Full-screen texture fetch: one (bilinear or trilinear) tap per
+    pixel plus a scalar tint multiply — the pure sampler-floor workload.
+    (The tint keeps frame checksums distinct under UV scrolling: a
+    periodic texture's full-screen SUM is shift-invariant, which would
+    defeat the bench's elision-proof distinctness check.)"""
+    tex = uniforms["texture"]
+    uv = frag["uv"]
+    if hasattr(tex, "meta") and len(tex.meta[2]) > 1:
+        th, tw = tex.meta[2][0]
+        albedo = tex_ops.sample_texture(tex, uv, tex_ops.lod_from_uv(uv, th, tw))
+    else:
+        albedo = tex_ops.sample_texture(tex, uv)
+    rgb = albedo[..., :3] * jnp.float32(uniforms.get("tint", 1.0))
+    a = jnp.ones((*rgb.shape[:2], 1), jnp.float32)
+    return jnp.concatenate([rgb, a], -1)
+
+
+register(
+    Shader(
+        "textured_fullscreen",
+        _textured_fullscreen_vs,
+        _textured_fullscreen_fs,
+        attributes=("uv",),
+    )
+)
+
+
 def _textured_lit_vs(attrs, uniforms):
     clip = mvp_transform(attrs, uniforms)
     model = uniforms["model"]

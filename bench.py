@@ -48,6 +48,11 @@ CONFIGS = [
     ("msaa4_cube_1080p_ms", "cube", 1920, 1080, 4, (16, 96), {}, 1.03, "round2_ms"),
     ("textured_cube_1080p_ms", "textured_cube", 1920, 1080, 1, (8, 40), {}, 7.0, "bar_ms"),
     ("instanced_10k_1080p_ms", "instanced", 1920, 1080, 1, (4, 20), {"count": 10_000}, 15.7, "round2_ms"),
+    # The full-screen texture-tap floor (no compaction escape hatch):
+    # every pixel samples the mip chain.  Baselined against the measured
+    # per-full-screen-tap cost (~9.5 ms, CLAUDE.md) so vs_baseline reads
+    # as "taps-of-headroom per frame".
+    ("textured_fullscreen_1080p_ms", "textured_fullscreen", 1920, 1080, 1, (8, 32), {}, 9.5, "round3_tap_ms"),
 ]
 FLAGSHIP = "cube_1080p_fps"
 
@@ -114,10 +119,10 @@ def bench_config(metric, demo, width, height, msaa, frames, dkw, base, kind):
         baseline_desc = "BASELINE.json north star: 1000 fps"
     else:
         value, unit, vs = round(ms, 3), "ms/frame", round(base / ms, 4)
-        baseline_desc = (
-            f"verdict done-bar: {base} ms" if kind == "bar_ms"
-            else f"round-2 measured: {base} ms"
-        )
+        baseline_desc = {
+            "bar_ms": f"verdict done-bar: {base} ms",
+            "round3_tap_ms": f"round-3 measured full-screen tap: {base} ms",
+        }.get(kind, f"round-2 measured: {base} ms")
     return {
         "metric": metric,
         "value": value,

@@ -59,6 +59,7 @@ CASES = [
     ("triangle", 0.0, {}),
     ("cube", 0.5, {}),
     ("textured_cube", 0.7, {}),
+    ("textured_fullscreen", 0.4, {}),
     ("instanced", 0.3, {"count": 32}),
     ("big_mesh", 0.2, {"triangles": 2000}),
 ]
