@@ -192,6 +192,11 @@ def render_loop(
         if img is not None:
             last = img
     for img in chain.flush():
+        # Drained frames are real presents: without this the last
+        # ``depth`` frames of every run never reach on_frame (a 1-frame
+        # run wrote zero PNGs).
+        if on_frame is not None:
+            on_frame(img, pacer)
         last = img
     # Staged slots cycle after depth+1 presents; hand back a stable copy.
     if last is not None and chain._staging is not None:

@@ -328,7 +328,9 @@ struct BrtPresent {
   std::deque<Frame> ring;
   std::atomic<bool> stop{false};
   std::atomic<uint64_t> presented{0};
-  uint64_t submitted = 0;
+  // Atomic: flush() reads it without the mutex (submit() increments under
+  // the lock, but nothing ties the flushing thread to the submitting one).
+  std::atomic<uint64_t> submitted{0};
 };
 
 static void present_worker(BrtPresent* p) {

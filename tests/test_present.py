@@ -41,7 +41,20 @@ def test_render_loop_end_to_end():
         r, demo, frames=4, on_frame=lambda img, p: seen.append(img.shape)
     )
     assert last is not None and last.shape == (48, 64, 4)
-    assert len(seen) >= 2
+    # Every frame must reach on_frame, including the depth-2 swapchain's
+    # final in-flight frames drained after the loop (regression: the
+    # drain used to skip on_frame, losing the last `depth` presents).
+    assert len(seen) == 4
+
+
+def test_render_loop_single_frame_presents():
+    r = brt.Renderer(brt.RendererConfig(width=64, height=48))
+    demo = demos.triangle_demo(r)
+    seen = []
+    last, _ = present.render_loop(
+        r, demo, frames=1, on_frame=lambda img, p: seen.append(img.shape)
+    )
+    assert len(seen) == 1 and last is not None
 
 
 def test_render_sequence_matches_frames():
