@@ -215,6 +215,7 @@ class TiledRenderer:
             tri_id=tri_id,
             stencil=stencil,
             overflowed=overflowed,
+            srgb=self.config.framebuffer_srgb,
         )
 
     def render(self, pipeline, scene_mesh, uniforms, instances=None):

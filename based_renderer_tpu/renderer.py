@@ -59,6 +59,14 @@ class RendererConfig:
     debug: bool = False  # NaN/shape validation (the validation-layer analog)
     raster_backend: str = "auto"  # "auto" | "xla" | "pallas"
     clear_stencil: int = 0  # stencil attachment clear value (0..255)
+    # Present/encode through the sRGB transfer function (IEC 61966-2-1;
+    # alpha stays linear).  The reference takes the FIRST reported surface
+    # format for its swapchain (/root/reference/src/main.cpp:1338-1339,
+    # TODO noted) — on real hardware almost always *_SRGB, so its
+    # presented bytes are sRGB-encoded.  Shading stays linear either way;
+    # the transfer function applies only at color_u8/present time, exactly
+    # like a hardware sRGB render-target store.
+    framebuffer_srgb: bool = False
 
     def __post_init__(self):
         if self.msaa not in (1, 4):
@@ -100,6 +108,9 @@ class FrameResult:
     # False on the XLA backend (no pair budget).  In RendererConfig.debug
     # mode the overflow raises AllocationError in end_frame instead.
     overflowed: Any = False
+    # RendererConfig.framebuffer_srgb snapshot: color_u8() encodes with the
+    # sRGB transfer function (alpha linear) when set.
+    srgb: bool = False
 
     @property
     def color(self) -> jnp.ndarray:
@@ -110,8 +121,9 @@ class FrameResult:
         return np.moveaxis(np.asarray(self.color_planar), 0, -1)
 
     def color_u8(self) -> np.ndarray:
-        c = self.color_np()
-        return np.clip(c * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        from .utils import image
+
+        return image.to_u8(self.color_np(), srgb=self.srgb)
 
     def depth_np(self) -> np.ndarray:
         return np.asarray(self.depth_q, np.int64).astype(np.float64) / fp.DEPTH_ONE_Q
@@ -347,6 +359,7 @@ class Renderer:
             tri_id=tri_id,
             stencil=stencil,
             overflowed=overflowed,
+            srgb=self.config.framebuffer_srgb,
         )
 
     def render_frame(self, pipeline, mesh, uniforms=None, instances=None, **clear) -> FrameResult:

@@ -89,12 +89,19 @@ def _load():
         lib.brt_pacer_fps.argtypes = [c.c_void_p]
         lib.brt_pacer_destroy.argtypes = [c.c_void_p]
         lib.brt_f32_to_u8.argtypes = [c.c_void_p, c.c_void_p, c.c_int64]
+        lib.brt_f32_to_u8_srgb.argtypes = [c.c_void_p, c.c_void_p, c.c_int64]
         lib.brt_write_png.restype = c.c_int32
         lib.brt_write_png.argtypes = [c.c_char_p, c.c_void_p, c.c_int32, c.c_int32, c.c_int32]
         lib.brt_write_ppm.restype = c.c_int32
         lib.brt_write_ppm.argtypes = [c.c_char_p, c.c_void_p, c.c_int32, c.c_int32]
         lib.brt_present_create.restype = c.c_void_p
-        lib.brt_present_create.argtypes = [c.c_int32, c.c_int32, c.c_int32, c.c_char_p]
+        lib.brt_present_create.argtypes = [
+            c.c_int32,
+            c.c_int32,
+            c.c_int32,
+            c.c_char_p,
+            c.c_int32,
+        ]
         lib.brt_present_submit.restype = c.c_uint64
         lib.brt_present_submit.argtypes = [c.c_void_p, c.c_void_p]
         lib.brt_present_flush.argtypes = [c.c_void_p]
@@ -200,13 +207,21 @@ class PresentRing:
     submit blocks only when ``depth`` frames are in flight.
     """
 
-    def __init__(self, width: int, height: int, depth: int = 2, out_dir: str | None = None):
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        depth: int = 2,
+        out_dir: str | None = None,
+        srgb: bool = False,
+    ):
         self._lib = _load()
         if self._lib is None:
             raise RuntimeError("native runtime unavailable")
         self.width, self.height = width, height
         self._h = self._lib.brt_present_create(
-            width, height, depth, out_dir.encode() if out_dir else None
+            width, height, depth, out_dir.encode() if out_dir else None,
+            1 if srgb else 0,
         )
 
     def submit(self, rgba_f32: np.ndarray) -> int:
@@ -247,9 +262,12 @@ def write_png(path: str, img_u8: np.ndarray) -> None:
         raise PresentError(f"brt_write_png failed: {rc}")
 
 
-def f32_to_u8(img: np.ndarray) -> np.ndarray:
+def f32_to_u8(img: np.ndarray, srgb: bool = False) -> np.ndarray:
+    """f32 [0,1] -> u8; srgb applies the transfer function to RGB (the
+    flat buffer is treated as RGBA quads — alpha stays linear)."""
     lib = _load()
     a = np.ascontiguousarray(img, np.float32)
     out = np.empty(a.shape, np.uint8)
-    lib.brt_f32_to_u8(a.ctypes.data, out.ctypes.data, a.size)
+    fn = lib.brt_f32_to_u8_srgb if srgb else lib.brt_f32_to_u8
+    fn(a.ctypes.data, out.ctypes.data, a.size)
     return out

@@ -245,6 +245,28 @@ void brt_f32_to_u8(const float* src, uint8_t* dst, int64_t n) {
   }
 }
 
+// Linear -> sRGB transfer function (IEC 61966-2-1).  Computed in double so
+// the result is bit-identical to the Python utils/image.py path (both call
+// this host's correctly-rounded libm pow on the same doubles).
+static inline double srgb_encode1(double v) {
+  if (v <= 0.0031308) return v * 12.92;
+  return 1.055 * pow(v < 0.0 ? 0.0 : v, 1.0 / 2.4) - 0.055;
+}
+
+// RGBA quads: R, G, B get the sRGB transfer function, alpha stays linear —
+// the semantics of a VK_FORMAT_*_SRGB swapchain image (the reference takes
+// the first reported surface format, in practice *_SRGB:
+// /root/reference/src/main.cpp:1338-1339).  n counts floats (4 per pixel).
+void brt_f32_to_u8_srgb(const float* src, uint8_t* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    double v = (double)src[i];
+    if ((i & 3) != 3) v = srgb_encode1(v);
+    v = v * 255.0 + 0.5;
+    v = v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v);
+    dst[i] = (uint8_t)v;
+  }
+}
+
 static void put_be32(std::vector<uint8_t>& out, uint32_t v) {
   out.push_back((v >> 24) & 0xFF);
   out.push_back((v >> 16) & 0xFF);
@@ -321,6 +343,7 @@ struct BrtPresent {
     uint64_t index;
   };
   int32_t w = 0, h = 0, depth = 2;
+  bool srgb = false;        // encode with the sRGB transfer function
   std::string out_dir;      // empty => display-less (convert + drop)
   std::thread worker;
   std::mutex mu;
@@ -345,7 +368,8 @@ static void present_worker(BrtPresent* p) {
       p->ring.pop_front();
       p->cv_done.notify_all();
     }
-    brt_f32_to_u8(frame.rgba.data(), u8.data(), (int64_t)p->w * p->h * 4);
+    (p->srgb ? brt_f32_to_u8_srgb : brt_f32_to_u8)(
+        frame.rgba.data(), u8.data(), (int64_t)p->w * p->h * 4);
     if (!p->out_dir.empty()) {
       char path[4096];
       snprintf(path, sizeof(path), "%s/frame_%06llu.png", p->out_dir.c_str(),
@@ -356,12 +380,15 @@ static void present_worker(BrtPresent* p) {
   }
 }
 
+// srgb != 0 presents through the sRGB transfer function (the *_SRGB
+// swapchain-format analog); 0 presents linear (UNORM).
 BrtPresent* brt_present_create(int32_t w, int32_t h, int32_t depth,
-                               const char* out_dir) {
+                               const char* out_dir, int32_t srgb) {
   auto* p = new BrtPresent();
   p->w = w;
   p->h = h;
   p->depth = depth < 1 ? 1 : depth;
+  p->srgb = srgb != 0;
   p->out_dir = out_dir ? out_dir : "";
   p->worker = std::thread(present_worker, p);
   return p;

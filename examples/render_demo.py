@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--msaa", type=int, default=1, choices=(1, 4))
     ap.add_argument("--out", default=None, help="directory for PNG frames")
     ap.add_argument("--vsync", action="store_true", help="pace at fixed_dt")
+    ap.add_argument("--srgb", action="store_true",
+                    help="present through the sRGB transfer function "
+                         "(the *_SRGB swapchain-format analog)")
     ap.add_argument("--backend", default="auto", choices=("auto", "xla", "pallas"))
     ap.add_argument("--profile", action="store_true",
                     help="fence + time render/present stages (StageTimer)")
@@ -56,7 +59,8 @@ def main():
 
     def run():
         cfg = brt.RendererConfig(
-            width=args.width, height=args.height, msaa=args.msaa, raster_backend=args.backend
+            width=args.width, height=args.height, msaa=args.msaa,
+            raster_backend=args.backend, framebuffer_srgb=args.srgb,
         )
         r = brt.Renderer(cfg)
         demo = demos.DEMOS[args.demo](r)
@@ -65,14 +69,18 @@ def main():
 
         ring = None
         if runtime.available():
-            ring = runtime.PresentRing(cfg.width, cfg.height, depth=2, out_dir=args.out)
+            ring = runtime.PresentRing(
+                cfg.width, cfg.height, depth=2, out_dir=args.out,
+                srgb=cfg.framebuffer_srgb,
+            )
 
         def on_frame(img, pacer):
             if ring is not None:
                 ring.submit(img)
             elif args.out:
                 brt.image.write_png(
-                    os.path.join(args.out, f"frame_{pacer.t:08.3f}.png"), img
+                    os.path.join(args.out, f"frame_{pacer.t:08.3f}.png"), img,
+                    srgb=cfg.framebuffer_srgb,
                 )
 
         timer = StageTimer() if args.profile else None

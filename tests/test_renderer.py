@@ -309,3 +309,24 @@ def test_render_sequence_multi_matches_per_frame():
         np.testing.assert_array_equal(
             np.asarray(frames[k]), np.asarray(f.color_planar)
         )
+
+
+def test_framebuffer_srgb_applies_at_color_u8():
+    """framebuffer_srgb encodes presented bytes with the sRGB transfer
+    function (alpha linear) while device-side shading stays linear."""
+    from based_renderer_tpu.utils import image
+
+    lin = brt.Renderer(SMALL)
+    enc = brt.Renderer(brt.RendererConfig(width=96, height=64, framebuffer_srgb=True))
+    pipe, mesh, uniforms, _ = demos.triangle_demo(lin)
+    fl = lin.render_frame(pipe, mesh, uniforms(0.0))
+    pipe2, mesh2, uniforms2, _ = demos.triangle_demo(enc)
+    fe = enc.render_frame(pipe2, mesh2, uniforms2(0.0))
+    # Linear (device) output is identical; only the u8 encode differs.
+    np.testing.assert_array_equal(np.asarray(fl.color_planar), np.asarray(fe.color_planar))
+    np.testing.assert_array_equal(fe.color_u8(), image.to_u8(fl.color_np(), srgb=True))
+    # The covered constant (0.1, 0.2, 0.3) brightens under the transfer
+    # function: 0.1 -> 89/255 vs linear 26/255.
+    m = np.asarray(fe.tri_id) >= 0
+    assert fe.color_u8()[m][0, 0] == 89
+    assert fl.color_u8()[m][0, 0] == 26

@@ -113,3 +113,52 @@ def test_present_ring_writes_frames():
         files = sorted(os.listdir(d))
         assert files == [f"frame_{i:06d}.png" for i in range(4)]
         ring.close()
+
+
+def test_f32_to_u8_srgb_matches_python():
+    """Native sRGB encode is bit-identical to utils.image.to_u8(srgb=True)
+    (both compute the transfer function in double on this host's libm)."""
+    from based_renderer_tpu.utils import image
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-0.2, 1.2, (16, 16, 4)).astype(np.float32)
+    got = runtime.f32_to_u8(img, srgb=True)
+    want = image.to_u8(img, srgb=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_srgb_encode_anchors():
+    from based_renderer_tpu.utils import image
+
+    # Known sRGB anchor points: 0 -> 0, 1 -> 255, linear 0.5 -> 188
+    # (sRGB(0.5) = 0.735357 -> 187.5 + 0.5 rounds to 188); the linear
+    # segment boundary 0.0031308 -> 12.92 * 0.0031308 * 255 ~ 10.3 -> 10.
+    px = np.asarray(
+        [[[0.0, 1.0, 0.5, 0.5]], [[0.0031308, 0.25, 0.75, 1.0]]], np.float32
+    )
+    u8 = image.to_u8(px, srgb=True)
+    assert u8[0, 0, 0] == 0 and u8[0, 0, 1] == 255
+    assert u8[0, 0, 2] == 188
+    assert u8[0, 0, 3] == 128  # alpha stays linear
+    assert u8[1, 0, 0] == 10
+    # Monotone and >= linear encode everywhere on [0, 1] RGB.
+    ramp = np.linspace(0, 1, 257, dtype=np.float32).reshape(1, -1, 1)
+    enc = image.srgb_encode(ramp)
+    assert np.all(np.diff(enc[0, :, 0]) >= 0)
+    # Compare in float64: 1e-12 is below float32 resolution near 1.0.
+    assert np.all(enc >= ramp.astype(np.float64) - 1e-12)
+
+
+def test_present_ring_srgb_flag():
+    from PIL import Image
+
+    from based_renderer_tpu.utils import image
+
+    img = np.full((16, 32, 4), 0.5, np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        ring = runtime.PresentRing(32, 16, depth=2, out_dir=d, srgb=True)
+        ring.submit(img)
+        ring.flush()
+        ring.close()
+        back = np.asarray(Image.open(os.path.join(d, "frame_000000.png")))
+    np.testing.assert_array_equal(back, image.to_u8(img, srgb=True))
