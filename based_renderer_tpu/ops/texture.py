@@ -18,6 +18,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -220,6 +221,104 @@ def sample_trilinear(tex, uv, lod):
     frac = (lodc - l0.astype(jnp.float32))[..., None]
     s0 = _sample_packed_level(tex, uv, l0)
     s1 = _sample_packed_level(tex, uv, l1)
+    return s0 * (1.0 - frac) + s1 * frac
+
+
+def _sep_level_static(tex, u_row, v_col, level: int):
+    """Separable bilinear tap at a STATIC mip level via one-hot matmuls.
+
+    Fetches every pixel's 2x2 patch row with a row-select matmul
+    (onehot_y @ packed_level) followed by a column-select contraction
+    (contract the texel-x axis against onehot_x) — both exact: one-hot
+    f32 matmuls under Precision.HIGHEST reconstruct the operand
+    bit-exactly (bf16x3 decomposition re-sums exactly; CLAUDE.md,
+    verified on v5e).  The blend weights and lerp expressions mirror
+    _sample_packed_level, so for identical (u, v) inputs the result
+    matches the gather path to within FMA contraction of the same
+    mul-add chains (<= 1-2 ulp; XLA contracts per program — tests pin
+    the fetch exactly at texel centers and the blend at 2 ulp).
+    """
+    wrap, c, sizes = tex.meta[:3]
+    th, tw = sizes[level]
+    off = 0
+    for h, w in sizes[:level]:
+        off += h * w
+    slab = tex.packed[off : off + th * tw].reshape(th, tw * 4 * c)
+    fx = u_row * jnp.float32(tw) - 0.5
+    fy = v_col * jnp.float32(th) - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0.astype(jnp.float32))[None, :, None]  # (1, W, 1)
+    ay = (fy - y0.astype(jnp.float32))[:, None, None]  # (H, 1, 1)
+    pow2 = all(h & (h - 1) == 0 and w & (w - 1) == 0 for h, w in sizes)
+    if wrap == "repeat" and pow2:
+        x0w = x0 & (tw - 1)
+        y0w = y0 & (th - 1)
+    elif wrap == "repeat":
+        x0w = jnp.mod(x0, tw)
+        y0w = jnp.mod(y0, th)
+    else:  # clamp — the packed +1 neighbor is texel 1 below the low edge
+        x0w = jnp.clip(x0, 0, tw - 1)
+        y0w = jnp.clip(y0, 0, th - 1)
+        ax = jnp.where((x0 < 0)[None, :, None], 0.0, ax)
+        ay = jnp.where((y0 < 0)[:, None, None], 0.0, ay)
+    hp = jax.lax.Precision.HIGHEST
+    onehot_y = (y0w[:, None] == jnp.arange(th, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    onehot_x = (x0w[:, None] == jnp.arange(tw, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    rows = jax.lax.dot_general(
+        onehot_y, slab, (((1,), (0,)), ((), ())), precision=hp
+    ).reshape(v_col.shape[0], tw, 4 * c)
+    p = jnp.einsum("htc,wt->hwc", rows, onehot_x, precision=hp)
+    t00 = p[..., :c]
+    t01 = p[..., c : 2 * c]
+    t10 = p[..., 2 * c : 3 * c]
+    t11 = p[..., 3 * c :]
+    top = t00 * (1.0 - ax) + t01 * ax
+    bot = t10 * (1.0 - ax) + t11 * ax
+    return top * (1.0 - ay) + bot * ay
+
+
+def sample_separable(tex, u_row, v_col, lod=None):
+    """Separable resampling on the MXU for screen-axis-aligned UV fields.
+
+    When a draw's texture coordinates are an axis-aligned affine function
+    of screen position — u depends only on pixel x, v only on pixel y
+    (full-screen quads, blits, sprites, skies) — the per-pixel tap
+    factors into a row select and a column select, which run as one-hot
+    matmuls on the MXU instead of the flat gather (TPUs have no gather
+    unit; a full-screen gather tap costs ~10 ms at 1080p, the matmuls
+    ~1 ms).  Sampling semantics (wrap, texel centers, mip dispatch)
+    mirror sample_texture with a CONSTANT LOD: for an affine mapping the
+    UV derivative is constant, so the scalar LOD is the analytically
+    correct one (the per-pixel gather path differs only at the last
+    row/column, where its clamped forward differences bend).
+
+    tex: scene.Texture; u_row: (W,) f32; v_col: (H,) f32; lod: traced
+    scalar f32 or None.  Returns (H, W, C).
+    """
+    if not hasattr(tex, "meta"):
+        raise ValueError("sample_separable requires a scene.Texture")
+    num_levels = len(tex.meta[2])
+    if num_levels == 1 or lod is None:
+        return _sep_level_static(tex, u_row, v_col, 0)
+    branches = [
+        (lambda l: (lambda: _sep_level_static(tex, u_row, v_col, l)))(l)
+        for l in range(num_levels)
+    ]
+    mip_filter = tex.meta[3] if len(tex.meta) > 3 else "nearest"
+    if mip_filter == "nearest":
+        lvl = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, num_levels - 1)
+        return jax.lax.switch(lvl, branches)
+    lodc = jnp.clip(lod, 0.0, float(num_levels - 1))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    frac = (lodc - l0.astype(jnp.float32))[..., None]
+    s0 = jax.lax.switch(l0, branches)
+    s1 = jax.lax.switch(l1, branches)
     return s0 * (1.0 - frac) + s1 * frac
 
 

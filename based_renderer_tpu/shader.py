@@ -150,15 +150,46 @@ def _textured_fullscreen_vs(attrs, uniforms):
     return clip, {"uv": uv}
 
 
-def _textured_fullscreen_fs(frag, uniforms):
+def _textured_fullscreen_fs(frag, uniforms, separable: bool = True):
     """Full-screen texture fetch: one (bilinear or trilinear) tap per
     pixel plus a scalar tint multiply — the pure sampler-floor workload.
     (The tint keeps frame checksums distinct under UV scrolling: a
     periodic texture's full-screen SUM is shift-invariant, which would
-    defeat the bench's elision-proof distinctness check.)"""
+    defeat the bench's elision-proof distinctness check.)
+
+    This shader's companion geometry (geometry.fullscreen_quad_data) maps
+    UV axis-aligned to the screen — u varies only with pixel x, v only
+    with pixel y — so by default it samples via the separable MXU
+    resampler (ops/texture.py sample_separable: one-hot matmuls instead
+    of the flat gather, ~10x on v5e), with the LOD computed once from the
+    constant UV derivative.  The "textured_fullscreen_gather" variant
+    keeps the per-pixel gather path (the general-geometry sampler) for
+    A/B measurement and reference.
+    """
     tex = uniforms["texture"]
     uv = frag["uv"]
-    if hasattr(tex, "meta") and len(tex.meta[2]) > 1:
+    # Separable fast path only on full-grid evaluation (compacted shading
+    # hands 8-row tile fragments where the small one-hots don't pay).
+    sep_ok = (
+        separable
+        and hasattr(tex, "meta")
+        and uv.ndim == 3
+        and uv.shape[0] >= 64
+        and uv.shape[1] >= 64
+    )
+    if sep_ok:
+        u_row = uv[0, :, 0]
+        v_col = uv[:, 0, 1]
+        lod = None
+        if len(tex.meta[2]) > 1:
+            th, tw = tex.meta[2][0]
+            rho = jnp.maximum(
+                jnp.abs(u_row[1] - u_row[0]) * jnp.float32(tw),
+                jnp.abs(v_col[1] - v_col[0]) * jnp.float32(th),
+            )
+            lod = jnp.log2(jnp.maximum(rho, jnp.float32(1e-12)))
+        albedo = tex_ops.sample_separable(tex, u_row, v_col, lod)
+    elif hasattr(tex, "meta") and len(tex.meta[2]) > 1:
         th, tw = tex.meta[2][0]
         albedo = tex_ops.sample_texture(tex, uv, tex_ops.lod_from_uv(uv, th, tw))
     else:
@@ -173,6 +204,20 @@ register(
         "textured_fullscreen",
         _textured_fullscreen_vs,
         _textured_fullscreen_fs,
+        attributes=("uv",),
+    )
+)
+
+
+def _textured_fullscreen_gather_fs(frag, uniforms):
+    return _textured_fullscreen_fs(frag, uniforms, separable=False)
+
+
+register(
+    Shader(
+        "textured_fullscreen_gather",
+        _textured_fullscreen_vs,
+        _textured_fullscreen_gather_fs,
         attributes=("uv",),
     )
 )

@@ -235,3 +235,110 @@ def test_renderer_upload_texture_exposes_sampler_state():
     assert t.wrap == "clamp"
     assert t.mip_filter == "linear"
     assert t.num_levels > 1
+
+
+# ---------------------------------------------------------------------------
+# Separable MXU resampler (sample_separable)
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_uv(u_row, v_col):
+    """Exactly-separable (H, W, 2) uv field from its axis profiles."""
+    H, W = v_col.shape[0], u_row.shape[0]
+    return jnp.stack(
+        [jnp.broadcast_to(u_row[None, :], (H, W)), jnp.broadcast_to(v_col[:, None], (H, W))],
+        axis=-1,
+    )
+
+
+@pytest.mark.parametrize("wrap", ["repeat", "clamp"])
+@pytest.mark.parametrize("mip_filter", ["nearest", "linear"])
+def test_separable_matches_gather_to_ulp(wrap, mip_filter):
+    """On an exactly-separable uv field with a constant LOD, the one-hot
+    matmul resampler matches the flat-gather sampler to <= 2 ulp: the
+    texel FETCH is exact (one-hot matmul), and the lerp expressions are
+    the same arithmetic — but XLA may contract the mul-add chains to FMA
+    differently in the two programs (the per-program contraction hazard
+    CLAUDE.md documents), so the last bit is not pinned."""
+    from based_renderer_tpu.scene import upload_texture
+
+    rng = np.random.default_rng(7)
+    tex = upload_texture(
+        rng.random((16, 32, 4)).astype(np.float32),
+        wrap=wrap,
+        mipmaps=True,
+        mip_filter=mip_filter,
+    )
+    u_row = jnp.asarray(rng.uniform(-0.4, 1.7, (40,)).astype(np.float32))
+    v_col = jnp.asarray(rng.uniform(-0.4, 1.7, (24,)).astype(np.float32))
+    uv = _broadcast_uv(u_row, v_col)
+    for lod in (-1.0, 0.0, 0.7, 1.49, 2.51, 9.0):
+        lod_t = jnp.float32(lod)
+        got = np.asarray(tex_ops.sample_separable(tex, u_row, v_col, lod_t))
+        if mip_filter == "linear":
+            want = np.asarray(
+                tex_ops.sample_trilinear(tex, uv, jnp.full(uv.shape[:-1], lod_t))
+            )
+        else:
+            lvl = jnp.clip(
+                jnp.round(jnp.full(uv.shape[:-1], lod_t)).astype(jnp.int32),
+                0,
+                tex.num_levels - 1,
+            )
+            want = np.asarray(tex_ops._sample_packed_level(tex, uv, lvl))
+        np.testing.assert_allclose(got, want, atol=3e-7, err_msg=f"lod={lod}")
+
+
+def test_separable_fetch_exact_at_texel_centers():
+    """At texel centers the blend weights are 0, so the sample IS the
+    one-hot-fetched texel — exactness of the MXU fetch with no lerp in
+    the way."""
+    from based_renderer_tpu.scene import upload_texture
+
+    rng = np.random.default_rng(9)
+    base = rng.random((8, 16, 4)).astype(np.float32)
+    tex = upload_texture(base, mipmaps=False)
+    u_row = jnp.asarray((np.arange(16) + 0.5) / 16.0, jnp.float32)
+    v_col = jnp.asarray((np.arange(8) + 0.5) / 8.0, jnp.float32)
+    got = np.asarray(tex_ops.sample_separable(tex, u_row, v_col))
+    np.testing.assert_array_equal(got, base)
+
+
+def test_separable_single_level():
+    from based_renderer_tpu.scene import upload_texture
+
+    rng = np.random.default_rng(8)
+    tex = upload_texture(rng.random((8, 8, 3)).astype(np.float32), mipmaps=False)
+    u_row = jnp.linspace(0.0, 1.0, 17, dtype=jnp.float32)
+    v_col = jnp.linspace(0.1, 0.9, 9, dtype=jnp.float32)
+    got = np.asarray(tex_ops.sample_separable(tex, u_row, v_col))
+    want = np.asarray(tex_ops.sample_texture(tex, _broadcast_uv(u_row, v_col)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fullscreen_shader_separable_matches_gather():
+    """The textured_fullscreen shader's separable fast path matches the
+    per-pixel gather variant to interpolation-noise tolerance (the uv
+    planes carry ulp-level cross-axis terms), with identical coverage.
+
+    The LAST row/column are excluded from the tight comparison: the
+    gather path's lod_from_uv bends there (clamped forward differences
+    zero one derivative), while the separable path uses the analytic
+    constant LOD of the affine mapping — the documented semantic
+    difference.  Everything else must agree."""
+    import based_renderer_tpu as brt
+    from based_renderer_tpu.models import demos
+    import dataclasses
+
+    r = brt.Renderer(brt.RendererConfig(width=128, height=96))
+    pipe, mesh, uniforms, _ = demos.textured_fullscreen_demo(r)
+    f_sep = r.render_frame(pipe, mesh, uniforms(0.4))
+    pipe_g = dataclasses.replace(pipe, shader="textured_fullscreen_gather")
+    f_gat = r.render_frame(pipe_g, mesh, uniforms(0.4))
+    np.testing.assert_array_equal(np.asarray(f_sep.tri_id), np.asarray(f_gat.tri_id))
+    cs = np.asarray(f_sep.color_planar)
+    cg = np.asarray(f_gat.color_planar)
+    np.testing.assert_allclose(cs[:, :-1, :-1], cg[:, :-1, :-1], atol=2e-4)
+    # The whole frame (edges included) stays within one mip level's worth
+    # of difference.
+    assert np.abs(cs - cg).max() < 0.5

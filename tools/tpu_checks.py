@@ -171,6 +171,42 @@ def check_bit_identity():
     print(f"instance_cull bit-identity: {cu_ok}", flush=True)
     ok &= cu_ok
 
+    # Separable MXU resampler on the real backend: the one-hot
+    # HIGHEST-precision fetch must reconstruct texels bit-exactly (at
+    # texel centers the blend weights vanish, so the sample IS the
+    # fetched texel), and the blended field must match the gather
+    # sampler to FMA-contraction tolerance.
+    from based_renderer_tpu.ops import texture as tex_ops
+    from based_renderer_tpu.scene import upload_texture
+
+    trng = np.random.default_rng(11)
+    base_tex = trng.random((64, 128, 4)).astype(np.float32)
+    tex = upload_texture(base_tex, mipmaps=True, mip_filter="linear")
+    uc = jnp.asarray((np.arange(128) + 0.5) / 128.0, jnp.float32)
+    vc = jnp.asarray((np.arange(64) + 0.5) / 64.0, jnp.float32)
+    fetch = np.asarray(jax.jit(tex_ops.sample_separable)(tex, uc, vc, jnp.float32(-1.0)))
+    f_ok = np.array_equal(fetch, base_tex)
+    u_row = jnp.asarray(trng.uniform(-0.3, 1.6, (160,)).astype(np.float32))
+    v_col = jnp.asarray(trng.uniform(-0.3, 1.6, (96,)).astype(np.float32))
+    uv_b = jnp.stack(
+        [
+            jnp.broadcast_to(u_row[None, :], (96, 160)),
+            jnp.broadcast_to(v_col[:, None], (96, 160)),
+        ],
+        axis=-1,
+    )
+    sep = np.asarray(
+        jax.jit(tex_ops.sample_separable)(tex, u_row, v_col, jnp.float32(1.3))
+    )
+    gat = np.asarray(
+        jax.jit(lambda u: tex_ops.sample_trilinear(tex, u, jnp.full(u.shape[:-1], 1.3)))(
+            uv_b
+        )
+    )
+    g_ok = bool(np.allclose(sep, gat, atol=3e-7))
+    print(f"separable sampler: fetch_exact={f_ok} blend_ulp={g_ok}", flush=True)
+    ok &= f_ok and g_ok
+
     print("TPU BIT-IDENTITY:", "PASS" if ok else "FAIL", flush=True)
     return ok
 
