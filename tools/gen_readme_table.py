@@ -21,6 +21,11 @@ ROWS = [
     ("cube_1080p_fps", "spinning cube (vertex color + depth)", "1080p"),
     ("msaa4_cube_1080p_ms", "spinning cube, MSAA-4x coverage", "1080p"),
     ("textured_cube_1080p_ms", "textured + Lambert cube, mipmapped", "1080p"),
+    (
+        "textured_fullscreen_1080p_ms",
+        "full-screen textured quad (trilinear tap/pixel, MXU resampler)",
+        "1080p",
+    ),
     ("instanced_10k_1080p_ms", "10k instanced cubes", "1080p"),
     ("bigmesh_1m_1080p_ms", "1M-tri mesh, Blinn-Phong", "1080p"),
     ("bigmesh_1m_4k_msaa4_ms", "1M-tri mesh, Blinn-Phong, MSAA-4x", "4K"),

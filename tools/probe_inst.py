@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""A/B the instanced demo's pipeline knobs on real TPU, one arm per process.
+
+    python tools/probe_inst.py cull       # instance_cull=0.85 (demo default)
+    python tools/probe_inst.py nocull     # instance_cull=None
+    python tools/probe_inst.py tile16     # raster_tile=(128,16)
+    python tools/probe_inst.py group32    # raster_group=32
+
+Each arm must run in a FRESH process (within-process drift, CLAUDE.md).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ARMS = {
+    "cull": {},
+    "nocull": {"instance_cull": None},
+    "cull70": {"instance_cull": 0.70},
+    "tile16": {"raster_tile": (128, 16)},
+    "group16": {"raster_group": 16},
+    "group32": {"raster_group": 32},
+    "pairs15": {"raster_pairs_factor": 1.5},
+    "nocull_group32": {"instance_cull": None, "raster_group": 32},
+}
+
+
+def main():
+    from based_renderer_tpu.utils import cache
+
+    cache.enable_persistent_cache()
+    from kernel_probe import time_demo
+
+    arm = sys.argv[1] if len(sys.argv) > 1 else "cull"
+    patch = ARMS[arm]
+    dt, of = time_demo("instanced", 1920, 1080, 4, 20, patch, count=10_000)
+    print(
+        f"instanced {arm}: {dt * 1e3:8.3f} ms/frame  overflow={of}", flush=True
+    )
+
+
+if __name__ == "__main__":
+    main()
