@@ -833,6 +833,7 @@ class Renderer:
                 (1,) * (len(cshape) - 3) + (4, 1, 1)
             )
             color = jnp.broadcast_to(clear, cshape)
+            msaa_prefused = False  # set when a draw fused mask+resolve
             for i, d in enumerate(dyn):
                 ts, var_tri, off, ntri, interp, invw, vis_i = per_draw[i]
                 pipe = pipelines[i]
@@ -869,6 +870,29 @@ class Renderer:
                         uni = d["uniforms"]
                         xla_interp_needed = interp_vals is None and bool(var_tri)
 
+                        from .ops import compact as cp
+
+                        use_compact_msaa = (
+                            pipe.shade_compact is not None
+                            and use_pallas
+                            and not xla_interp_needed
+                            and cp.eligible(erh, erw)
+                        )
+                        # Single opaque draw: the per-sample blend is the
+                        # fragment color (_blend returns src when disabled
+                        # with a full write mask), so mask-select + box
+                        # resolve fold into ONE fused pass — value-identical
+                        # to blend + where + mean but skips materializing
+                        # two (S, 4, H, W) intermediates (0.53 + 0.20 ms of
+                        # the 1.34 ms MSAA-4x cube, tools/probe_msaa.py).
+                        fuse_resolve = (
+                            len(dyn) == 1
+                            and not use_compact_msaa
+                            and not pipe.blend.enable
+                            and set(pipe.blend.write_mask) == set("rgba")
+                        )
+                        msaa_prefused = fuse_resolve
+
                         def shade_full_msaa(cur):
                             frag = build_frag(interp_vals)
                             if xla_interp_needed:
@@ -895,19 +919,16 @@ class Renderer:
                                 lambda fr: shaders[i].fragment(fr, uni)
                             )(frag)
                             rgba = jnp.transpose(rgba, (0, 3, 1, 2))
+                            if fuse_resolve:
+                                return jnp.mean(
+                                    jnp.where(mask[:, None], rgba, clear), axis=0
+                                )
                             blended = jax.vmap(
                                 lambda s, c: _blend(s, c, pipe.blend)
                             )(rgba, cur)
                             return jnp.where(mask[:, None], blended, cur)
 
-                        from .ops import compact as cp
-
-                        if (
-                            pipe.shade_compact is not None
-                            and use_pallas
-                            and not xla_interp_needed
-                            and cp.eligible(erh, erw)
-                        ):
+                        if use_compact_msaa:
                             # Covered-tile-compacted MSAA shading: the 4x
                             # per-sample fragment rate scales with this
                             # draw's coverage instead of the framebuffer.
@@ -1170,7 +1191,7 @@ class Renderer:
                 blended = _blend(rgba, color, pipe.blend)
                 color = jnp.where(mask[None], blended, color)
 
-            if coverage_msaa:
+            if coverage_msaa and not msaa_prefused:
                 # Coverage resolve: box-average the per-sample colors.
                 color = jnp.mean(color, axis=0)
             if scale == 2:
