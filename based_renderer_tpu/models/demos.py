@@ -136,11 +136,13 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         # scalar reads) on short tiles.
         raster_sublane=True,
         raster_tile=(128, 8),
-        # Per-instance frustum culling: over the demo orbit at most ~81%
-        # of instances are conservatively visible (measured with the
-        # hull-corner test over a full spin), so an 0.85 budget always
-        # fits while the vertex/setup/binner stream shrinks ~15%.
-        instance_cull=0.85,
+        # Per-instance frustum culling (Pipeline.instance_cull) is a net
+        # LOSS here: the demo orbit keeps ~81-85% of instances visible,
+        # and the ~15% stream reduction buys less than the per-frame
+        # hull test + table compaction + unhoistable expansion cost
+        # (measured on v5e: cull=0.85 14.84 ms vs no-cull 13.71,
+        # tools/probe_inst.py).  Enable it for scenes that keep a large
+        # off-screen fraction.
     )
     aspect = r.config.width / r.config.height
     extent = float(np.abs(transforms[:, :3, 3]).max()) + 2.0
