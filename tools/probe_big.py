@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""A/B the big_mesh demo's pipeline knobs on real TPU, one arm per process.
+
+    python tools/probe_big.py default|group64|noclip|combo [WxH [msaa]]
+
+Each arm must run in a FRESH process (within-process drift, CLAUDE.md).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from based_renderer_tpu.utils import cache
+
+    cache.enable_persistent_cache()
+    from kernel_probe import time_demo
+    from based_renderer_tpu.pipeline import DepthState
+
+    noclip_depth = DepthState(test=True, write=True, compare="less", clip=False)
+    arms = {
+        "default": {},
+        "group64": {"raster_group": 64},
+        "group16": {"raster_group": 16},
+        # The procedural mesh never leaves the depth window (the demo
+        # already skips the near clipper on the same grounds), so the
+        # per-fragment depth clip can be dropped: the sublane kernels'
+        # late_bias path then removes the clip-window ops from the pass-1
+        # hot loop.  Image-identical when nothing clips (asserted by the
+        # checksum cross-check in tests/test_renderer.py).
+        "noclip": {"depth": noclip_depth},
+        "combo": {"depth": noclip_depth, "raster_group": 64},
+    }
+    arm = sys.argv[1] if len(sys.argv) > 1 else "default"
+    size = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
+    msaa = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    W, H = (int(v) for v in size.split("x"))
+    n1, n2 = (1, 4) if W > 2560 else (2, 8)
+    dt, of = time_demo(
+        "big_mesh", W, H, n1, n2, arms[arm], msaa=msaa, triangles=1_000_000
+    )
+    print(
+        f"big_mesh {size} msaa{msaa} {arm}: {dt * 1e3:8.3f} ms/frame  overflow={of}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

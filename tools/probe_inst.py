@@ -16,15 +16,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ARMS = {
-    "cull": {},
-    "nocull": {"instance_cull": None},
+    "default": {},
+    "cull85": {"instance_cull": 0.85},
     "cull70": {"instance_cull": 0.70},
     "tile16": {"raster_tile": (128, 16)},
     "group16": {"raster_group": 16},
     "group32": {"raster_group": 32},
     "pairs15": {"raster_pairs_factor": 1.5},
-    "nocull_group32": {"instance_cull": None, "raster_group": 32},
+    "pallas": {"raster_assemble": "pallas"},
+    "slots12": {"raster_slots_factor": 1.2},
+    "noclip": "noclip",  # depth.clip=False (geometry never leaves [0,1])
+    "combo": "combo",  # stack of the individually-winning knobs
 }
+
+# Back-compat names from the round-3 logs (cull was the demo default then).
+ARMS["cull"] = ARMS["cull85"]
+ARMS["nocull"] = ARMS["default"]
+ARMS["nocull_group32"] = ARMS["group32"]
 
 
 def main():
@@ -32,8 +40,18 @@ def main():
 
     cache.enable_persistent_cache()
     from kernel_probe import time_demo
+    from based_renderer_tpu.pipeline import DepthState
 
-    arm = sys.argv[1] if len(sys.argv) > 1 else "cull"
+    noclip_depth = DepthState(test=True, write=True, compare="less", clip=False)
+    ARMS["noclip"] = {"depth": noclip_depth}
+    ARMS["combo"] = {
+        "depth": noclip_depth,
+        "raster_group": 32,
+        "raster_assemble": "pallas",
+        "raster_slots_factor": 1.2,
+    }
+
+    arm = sys.argv[1] if len(sys.argv) > 1 else "default"
     patch = ARMS[arm]
     dt, of = time_demo("instanced", 1920, 1080, 4, 20, patch, count=10_000)
     print(
