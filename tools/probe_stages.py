@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-stage elision-proof attribution of the big_mesh frame on real TPU.
+"""Per-stage elision-proof attribution of a demo frame on real TPU.
 
 Times prefix pipelines (vertex -> setup -> bin -> raster -> shade) inside
 per-step-different lax.scan dispatches at two lengths, differenced; the
@@ -7,7 +7,7 @@ difference of consecutive prefixes is the stage's cost.  This is the
 measurement discipline that re-attributed the round-2 "kernel floor" to
 the binner (CLAUDE.md: measure before attributing).
 
-    nohup python tools/probe_stages.py > /tmp/probe_stages.log 2>&1 &
+    nohup python tools/probe_stages.py [big_mesh|instanced] > /tmp/probe_stages.log 2>&1 &
 """
 
 import os
@@ -34,30 +34,18 @@ def main():
     cache.enable_persistent_cache()
 
     W, H = 1920, 1080
-    TRIS = 1_000_000
+    which = sys.argv[1] if len(sys.argv) > 1 else "big_mesh"
     r = brt.Renderer(brt.RendererConfig(width=W, height=H))
-    pipe, mesh, uniforms, _ = demos.big_mesh_demo(r, triangles=TRIS)
+    if which == "big_mesh":
+        pipe, mesh, uniforms, instances = demos.big_mesh_demo(r, triangles=1_000_000)
+    else:
+        pipe, mesh, uniforms, instances = demos.DEMOS[which](r)
     sh = shader_lib.get(pipe.shader)
     tile_w, tile_h = pipe.raster_tile
-    u0 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32) if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x), uniforms(0.0))
 
-    def uniforms_at(t_scalar):
-        # Rebuild the rotation uniform tree with a TRACED time: all
-        # downstream stages differ per scan step.
-        model_c = jnp.cos(t_scalar * 0.5)
-        model_s = jnp.sin(t_scalar * 0.5)
-        rot = jnp.asarray(
-            [
-                [model_c, 0.0, model_s, 0.0],
-                [0.0, 1.0, 0.0, 0.0],
-                [-model_s, 0.0, model_c, 0.0],
-                [0.0, 0.0, 0.0, 1.0],
-            ],
-            jnp.float32,
-        )
-        u = dict(u0)
-        u["model"] = rot
-        return u
+    # Every demo's uniforms fn is traceable (render_sequence contract), so
+    # a TRACED time makes all downstream stages differ per scan step.
+    uniforms_at = uniforms
 
     mesh_dev = Mesh(attributes=mesh.attributes, indices=mesh.indices)
 
@@ -65,7 +53,7 @@ def main():
         def body(carry, t_i):
             t = t_i.astype(jnp.float32) * 0.016 + carry * 1e-6
             u = uniforms_at(t)
-            attrs, tri_idx = expand_instances(mesh_dev, {})
+            attrs, tri_idx = expand_instances(mesh_dev, instances)
             clip, varyings = sh.vertex(attrs, u)
             clip_tri, var_tri = gather_triangles(clip, varyings, tri_idx)
             if depth == 0:
