@@ -124,7 +124,10 @@ def instanced_demo(r: Renderer, count: int = 10_000):
     }
     pipe = Pipeline(
         shader="instanced_color",
-        depth=DepthState(test=True, write=True, compare="less"),
+        # depth clip=False: the cube field never leaves [0,1] depth, so
+        # the per-(row,sample) clip-window test is pure overhead in the
+        # MSAA sublane kernel (part of the measured combo win below).
+        depth=DepthState(test=True, write=True, compare="less", clip=False),
         cull_mode="back",
         front_face="ccw",
         # The cube field stays inside the view volume: skip the clipper
@@ -133,8 +136,14 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         near_clip=False,
         raster_pairs_factor=2.0,
         # Record-dense scene: the sublane-parallel kernel (no per-record
-        # scalar reads) on short tiles.
+        # scalar reads) on short tiles.  The stacked knobs below are the
+        # measured per-arm winners (tools/probe_inst.py on v5e, fresh
+        # process per arm): noclip + group32 + pallas assembly +
+        # slots 1.2 reads 13.04 ms/frame vs 13.9-14.0 default.
         raster_sublane=True,
+        raster_group=32,
+        raster_assemble="pallas",
+        raster_slots_factor=1.2,
         raster_tile=(128, 8),
         # Per-instance frustum culling (Pipeline.instance_cull) is a net
         # LOSS here: the demo orbit keeps ~81-85% of instances visible,
@@ -195,11 +204,13 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
             else None
         ),
         # 1M-record scenes are kernel- and binner-bound: sublane-parallel
-        # raster kernel on short tiles, 32-record groups (measured on v5e:
-        # group 8 -> 32 cuts the 1M-tri 1080p frame ~10 ms by amortizing
-        # per-group coefficient loads/loop control over 4x records).
+        # raster kernel on short tiles, 64-record groups (measured on v5e:
+        # group 8 -> 32 cut the 1M-tri 1080p frame ~10 ms by amortizing
+        # per-group coefficient loads/loop control over 4x records;
+        # 32 -> 64 buys another ~2 ms — 53.6 vs 55.7 ms/frame,
+        # tools/probe_big.py fresh-process arms).
         raster_sublane=True,
-        raster_group=32,
+        raster_group=64,
         raster_tile=(128, 8),
         # Fused Pallas record assembly: one streaming transpose+re-anchor
         # pass instead of XLA's materialized relayout (measured on v5e:
