@@ -101,10 +101,17 @@ class BinnedTriangles(NamedTuple):
     overflowed: jnp.ndarray  # () bool — true pair count exceeded MAXPAIRS
 
 
-def _triangle_templates(ts: TriSetup, id_offset, channels, perspective):
+def _triangle_templates(ts: TriSetup, id_offset, channels, perspective, transposed=False):
     """Per-triangle record templates, all screen-origin anchored.
 
     Returns (ti, tf): int template (T, TI_W) and float template (T, TF_W).
+    With ``transposed=True`` returns them FIELD-major ((TI_W, T), (TF_W, T))
+    instead: stacking along axis 0 writes each field as one contiguous
+    (T,) row, where the axis=-1 stack interleaves into the lane-tiled
+    minor dimension at a near-footprint relayout pass PER column (the
+    same pathology as the measured (P, 64) column reads, see
+    bin_triangles below) — the caller then pays ONE transpose to reach
+    the row-major gather layout.
     int template columns:
       0..5   A0..A2, B0..B2 (raw edge coefficients)
       6..11  E_origin i64 pairs (hi0, lo0, hi1, lo1, hi2, lo2): exact
@@ -153,7 +160,7 @@ def _triangle_templates(ts: TriSetup, id_offset, channels, perspective):
         ts.xf[:, 0],
         ts.yf[:, 0],
     ]
-    ti = jnp.stack(ti_cols, axis=-1)
+    ti = jnp.stack(ti_cols, axis=0 if transposed else -1)
 
     # Barycentric planes anchored at the pixel-(0,0) center, from the
     # exact origin edge values (un-biased is unnecessary: bias shifts E by
@@ -177,7 +184,7 @@ def _triangle_templates(ts: TriSetup, id_offset, channels, perspective):
         ch = channels * iw[:, :, None] if perspective else channels
         for k in range(ch.shape[-1]):
             tf_cols.extend(plane_of(ch[:, :, k]))
-    tf = jnp.stack(tf_cols, axis=-1)
+    tf = jnp.stack(tf_cols, axis=0 if transposed else -1)
     return ti, tf
 
 
@@ -202,6 +209,8 @@ def bin_triangles(
     slots: int | None = None,
     assemble: str = "xla",
     interpret: bool = False,
+    col_major_ids: bool = False,
+    anchor_rows: int | None = None,
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -217,6 +226,21 @@ def bin_triangles(
     sharded render bit-identical to a monolithic one; for the proofs to
     hold, origin must be a multiple of the tile size (shard extents are
     tile-aligned in parallel/tiled.py).
+
+    ``col_major_ids``: emit COLUMN-major tile ids (id = tx * num_ty + ty)
+    instead of row-major.  Used by sub-tile band binning
+    (Pipeline.raster_bin_rows): with bin tiles of (tile_w, band_rows),
+    column-major order keeps all bands of one OUTPUT raster tile
+    contiguous in the sorted record stream, so the kernel reads one DMA
+    stream per tile.  Within a bin, order is still draw order.
+
+    ``anchor_rows``: re-anchor records at the enclosing OUTPUT-tile origin
+    (anchor_rows pixel rows per output tile; must be a multiple of
+    tile_h) instead of this bin's own origin.  With band binning the
+    record CONTENTS are then bit-identical to the unbanded stream —
+    including the f32 planes, whose re-anchoring would otherwise round
+    differently at band origins — and the kernel advances the int row
+    state to the band start with exact int32 adds.
     """
     if 128 % tile_w and tile_w != 128:
         raise ValueError("tile_w must divide 128")
@@ -278,7 +302,10 @@ def bin_triangles(
     # pairs are unique, so the two-key order equals the old stable
     # tri-major order exactly.
     num_valid_pairs = jnp.sum(live.astype(jnp.int32))
-    first_tile = jnp.where(live, y0 * num_tx + x0, jnp.int32(num_tiles))
+    if col_major_ids:
+        first_tile = jnp.where(live, x0 * num_ty + y0, jnp.int32(num_tiles))
+    else:
+        first_tile = jnp.where(live, y0 * num_tx + x0, jnp.int32(num_tiles))
     tri_ids = jnp.arange(num_tris, dtype=jnp.int32)
 
     extra_budget = max(max_pairs - num_tris, 0)
@@ -311,9 +338,11 @@ def bin_triangles(
     bw_t = eT[1]
     e_tile_y = eT[3] + seq // bw_t
     e_tile_x = eT[2] + seq % bw_t
-    e_tile = jnp.where(
-        e_in_range, e_tile_y * num_tx + e_tile_x, jnp.int32(num_tiles)
-    )
+    if col_major_ids:
+        e_tile_id = e_tile_x * num_ty + e_tile_y
+    else:
+        e_tile_id = e_tile_y * num_tx + e_tile_x
+    e_tile = jnp.where(e_in_range, e_tile_id, jnp.int32(num_tiles))
 
     tile_id_all = jnp.concatenate([first_tile, e_tile])
     tri_all = jnp.concatenate([tri_ids, eT[4]])
@@ -367,12 +396,33 @@ def bin_triangles(
     # dense scenes).
     slot_valid = pair_idx < total
     slot_tile = jnp.clip(tile_id_sorted, 0, num_tiles - 1)
-    s_tile_x = slot_tile % num_tx
-    s_tile_y = slot_tile // num_tx
+    if col_major_ids:
+        s_tile_x = slot_tile // num_ty
+        s_tile_y = slot_tile % num_ty
+    else:
+        s_tile_x = slot_tile % num_tx
+        s_tile_y = slot_tile // num_tx
     ox = s_tile_x * tile_w + origin_x  # tile-origin pixel (global coords)
-    oy = s_tile_y * tile_h + origin_y
+    if anchor_rows is not None:
+        # Anchor at the OUTPUT tile containing this band (see docstring).
+        if anchor_rows % tile_h:
+            raise ValueError(
+                f"anchor_rows {anchor_rows} must be a multiple of tile_h {tile_h}"
+            )
+        bands_per = anchor_rows // tile_h
+        oy = (s_tile_y // bands_per) * anchor_rows + origin_y
+    else:
+        oy = s_tile_y * tile_h + origin_y
 
     # ---- per-slot record assembly from the templates ---------------------
+    # (Layout note, measured on v5e at 1M tris: building the templates
+    # field-major — stack(axis=0), contiguous per-field rows — and
+    # transposing once to this row-major gather layout is ~1.8 ms SLOWER
+    # than stacking axis=-1 directly (tools/probe_binner3.py tmpl_T64
+    # 14.52 vs tmpl_cur 12.74 ms for the build+pad stage): the
+    # lane-interleave relayout costs the same wherever it happens, and
+    # the explicit transpose adds a pass.  _triangle_templates keeps a
+    # `transposed` option for a future fully-field-major assembly path.)
     ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
     # Post-sort row gather: ONE fused wide gather of the int template and
     # the f32 template (riding as bitcast int32 bits — lossless).  Row

@@ -726,6 +726,8 @@ def _raster_kernel_sublane(
     num_channels: int,
     scissor,
     group: int = 8,
+    band_rows: int | None = None,
+    num_by: int = 0,
 ):
     """Sublane-parallel rasterization — the dense-mesh production kernel.
 
@@ -770,6 +772,21 @@ def _raster_kernel_sublane(
 
     Measured ~60ns/record pass-1 + ~10ns pass-2 vs the sequential 370ns
     on a v5e — the fix for BASELINE config 5 (1M-triangle scenes).
+
+    Sub-tile band binning (``band_rows`` set, Pipeline.raster_bin_rows):
+    records were binned per (tile_w x band_rows) band with COLUMN-major
+    bin ids (binning.py col_major_ids), so one output tile's
+    ``tile_h / band_rows`` bands are contiguous in the record stream —
+    still ONE DMA stream per tile, but each band's group loop evaluates
+    only its ``band_rows`` rows.  Records stay anchored at the OUTPUT
+    tile origin (binning.anchor_rows), so record contents — including
+    the f32 planes — are bit-identical to the unbanded stream; each
+    band's loop advances the int row state to its band start with exact
+    int32 adds.  On tiny-triangle meshes this cuts pass-1 row work by
+    ~tile_h/band_rows at the cost of band-crossing triangles binning
+    once per band.  Bands partition pixel rows, so per-pixel record
+    order (and thus coverage/depth/tie semantics) is bit-identical.
+    ``num_by`` is the bin grid's band-row count (pad_h / band_rows).
     """
     assert tile_w == 128, "sublane kernel requires tile_w == 128"
     assert group % 8 == 0 and CHUNK % group == 0
@@ -832,11 +849,37 @@ def _raster_kernel_sublane(
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    tile = ty * num_tx + tx
-    raw_start = tile_start_ref[tile]
-    start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
-    skip = raw_start - start
-    count = tile_count_ref[tile] + skip
+    if band_rows is None:
+        tile = ty * num_tx + tx
+        raw_start = tile_start_ref[tile]
+        start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+        skip = raw_start - start
+        count = tile_count_ref[tile] + skip
+        band_lo_hi = None
+    else:
+        bands = tile_h // band_rows
+        base = tx * num_by + ty * bands
+        raw_start = tile_start_ref[base]
+        start = pl.multiple_of((raw_start // CHUNK) * CHUNK, CHUNK)
+        skip = raw_start - start
+        last_end = (
+            tile_start_ref[base + bands - 1] + tile_count_ref[base + bands - 1]
+        )
+        count = last_end - start
+        # Per-band [lo, hi) record ranges relative to `start`.  Bands of
+        # one tile are contiguous (col-major bin ids; dead slots sort to
+        # the stream tail), so band b ends where band b+1 begins.
+        band_lo_hi = [
+            (
+                tile_start_ref[base + b] - start,
+                (
+                    tile_start_ref[base + b + 1] - start
+                    if b + 1 < bands
+                    else last_end - start
+                ),
+            )
+            for b in range(bands)
+        ]
 
     if has_init:
         _i_id, i_z, _i_b0, _i_b1, _i_b2 = init_refs
@@ -889,73 +932,117 @@ def _raster_kernel_sublane(
         lo = jnp.maximum(skip - c * CHUNK, 0)
         hi_b = jnp.minimum(count - c * CHUNK, CHUNK)
 
-        def group_body(g, _):
-            base = pl.ds(pl.multiple_of(g * G, G), G)
+        def make_group_body(row0, nrows, g_lo, g_hi):
+            # One group loop over records live in [g_lo, g_hi) of this
+            # chunk, evaluating tile rows [row0, row0 + nrows).  Unbanded:
+            # one instance covering all tile_h rows.  Banded: one instance
+            # per band — records are anchored at their band origin, so
+            # row state starts at the record origin either way.
+            def group_body(g, _):
+                base = pl.ds(pl.multiple_of(g * G, G), G)
 
-            def f(j):
-                return tri[base, j : j + 1]  # (group, 1) vector load
+                def f(j):
+                    return tri[base, j : j + 1]  # (group, 1) vector load
 
-            rec_i = g * G + subi
-            inr = (rec_i >= lo) & (rec_i < hi_b)
-            # Records outside the live window get the same impossible-edge
-            # treatment the binner gives invalid slots (very negative e0,
-            # zero step): one select per group instead of a mask per row.
-            ay0 = jnp.where(inr, f(6), 0)
-            ay1, ay2, dzy = f(7), f(8), f(11)
-            zsh = f(12)
-            mid = jnp.right_shift(jnp.int32(1 << 29), zsh)
-            hi_clamp = mid + jnp.int32(1)
-            # Row state carried across the loop: E_i and Z already include
-            # the per-lane x term, so each row costs four adds to advance
-            # instead of re-evaluating the planes (~30% fewer pass-1 ops).
-            E0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30))) + f(3) * xl
-            E1 = f(1) + f(4) * xl
-            E2 = f(2) + f(5) * xl
-            Z = f(9) + f(10) * xl
-            Q = jnp.int32(fp.DEPTH_ONE_Q)
-            rec_abs = rec_i + c * CHUNK  # (8, 1) absolute record indices
-            for y in range(tile_h):
-                # all-non-negative == the OR of the three has a clear sign
-                # bit (exactly the 3-compare AND, two ops cheaper).
-                m = (E0 | E1) | E2
-                if clip_window:
-                    # Depth clip in the pre-shift domain (see late_bias
-                    # comment above): in-window iff Z in [-mid, mid],
-                    # folded into the coverage sign test; in-window
-                    # pixels shift exactly with no clamp.
-                    m = m | ((Z + mid) | (mid - Z))
-                    z = jnp.left_shift(Z, zsh)
-                else:
-                    z = jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
-                    if not late_bias:
-                        z = z + jnp.int32(1 << 29)
-                    if depth_clip == "clamp":
-                        z = jnp.clip(z, 0, Q)
-                if scissor is not None:
-                    y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
-                    zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
-                else:
-                    zk = jnp.where(m >= 0, z, sent)
-                # Fold into the per-slot accumulators — no cross-sublane
-                # ops in the hot loop.  A sent (uncovered) zk can only
-                # "beat" a slot that is itself still sent (under the
-                # *_equal compares), which the finalize excludes anyway;
-                # real (selected) depths never equal the sentinel: under
-                # clip_window winners are in-window so |z| <= 2^29; with
-                # the bias applied in-loop |z - 2^29| <= 2^29 + 2^zshift
-                # and in the clamped late_bias domain |z| <= 2^29 +
-                # 2^zshift — all bounded away from +/-(2^31 - 1).
-                az = accz[y]
-                take = better(zk, az)
-                accz[y] = jnp.where(take, zk, az)
-                acci[y] = jnp.where(take, rec_abs, acci[y])
-                E0 = E0 + ay0
-                E1 = E1 + ay1
-                E2 = E2 + ay2
-                Z = Z + dzy
-            return 0
+                rec_i = g * G + subi
+                inr = (rec_i >= g_lo) & (rec_i < g_hi)
+                # Records outside the live window get the same
+                # impossible-edge treatment the binner gives invalid slots
+                # (very negative e0, zero step): one select per group
+                # instead of a mask per row.
+                ay0 = jnp.where(inr, f(6), 0)
+                ay1, ay2, dzy = f(7), f(8), f(11)
+                zsh = f(12)
+                mid = jnp.right_shift(jnp.int32(1 << 29), zsh)
+                hi_clamp = mid + jnp.int32(1)
+                # Row state carried across the loop: E_i and Z already
+                # include the per-lane x term, so each row costs four adds
+                # to advance instead of re-evaluating the planes (~30%
+                # fewer pass-1 ops).
+                E0 = jnp.where(inr, f(0), jnp.int32(-(1 << 30))) + f(3) * xl
+                E1 = f(1) + f(4) * xl
+                E2 = f(2) + f(5) * xl
+                Z = f(9) + f(10) * xl
+                if row0:
+                    # Banded: records are anchored at the OUTPUT tile
+                    # origin (binning.anchor_rows); advance the row state
+                    # to the band start.  int32 adds commute exactly, so
+                    # this is bit-identical to walking row0 rows.
+                    E0 = E0 + ay0 * row0
+                    E1 = E1 + ay1 * row0
+                    E2 = E2 + ay2 * row0
+                    Z = Z + dzy * row0
+                Q = jnp.int32(fp.DEPTH_ONE_Q)
+                rec_abs = rec_i + c * CHUNK  # (8, 1) absolute record idxs
+                for r in range(nrows):
+                    y = row0 + r
+                    # all-non-negative == the OR of the three has a clear
+                    # sign bit (exactly the 3-compare AND, two ops cheaper).
+                    m = (E0 | E1) | E2
+                    if clip_window:
+                        # Depth clip in the pre-shift domain (see late_bias
+                        # comment above): in-window iff Z in [-mid, mid],
+                        # folded into the coverage sign test; in-window
+                        # pixels shift exactly with no clamp.
+                        m = m | ((Z + mid) | (mid - Z))
+                        z = jnp.left_shift(Z, zsh)
+                    else:
+                        z = jnp.left_shift(jnp.clip(Z, -hi_clamp, hi_clamp), zsh)
+                        if not late_bias:
+                            z = z + jnp.int32(1 << 29)
+                        if depth_clip == "clamp":
+                            z = jnp.clip(z, 0, Q)
+                    if scissor is not None:
+                        y_ok = (gy0 + y >= sy0) & (gy0 + y < sy1)
+                        zk = jnp.where((m >= 0) & xmask & y_ok, z, sent)
+                    else:
+                        zk = jnp.where(m >= 0, z, sent)
+                    # Fold into the per-slot accumulators — no
+                    # cross-sublane ops in the hot loop.  A sent
+                    # (uncovered) zk can only "beat" a slot that is itself
+                    # still sent (under the *_equal compares), which the
+                    # finalize excludes anyway; real (selected) depths
+                    # never equal the sentinel: under clip_window winners
+                    # are in-window so |z| <= 2^29; with the bias applied
+                    # in-loop |z - 2^29| <= 2^29 + 2^zshift and in the
+                    # clamped late_bias domain |z| <= 2^29 + 2^zshift —
+                    # all bounded away from +/-(2^31 - 1).
+                    az = accz[y]
+                    take = better(zk, az)
+                    accz[y] = jnp.where(take, zk, az)
+                    acci[y] = jnp.where(take, rec_abs, acci[y])
+                    E0 = E0 + ay0
+                    E1 = E1 + ay1
+                    E2 = E2 + ay2
+                    Z = Z + dzy
+                return 0
 
-        jax.lax.fori_loop(lo // G, pl.cdiv(hi_b, G), group_body, 0, unroll=False)
+            return group_body
+
+        if band_rows is None:
+            jax.lax.fori_loop(
+                lo // G,
+                pl.cdiv(hi_b, G),
+                make_group_body(0, tile_h, lo, hi_b),
+                0,
+                unroll=False,
+            )
+        else:
+            # One group loop per band: records binned per (tile_w x
+            # band_rows) band evaluate ONLY their band's rows.  Group
+            # windows straddling a band boundary run in both bands' loops
+            # with disjoint inr masks, so every record is evaluated
+            # exactly once over exactly its band.
+            for b, (blo, bhi) in enumerate(band_lo_hi):
+                g_lo = jnp.clip(blo - c * CHUNK, 0, CHUNK)
+                g_hi = jnp.clip(bhi - c * CHUNK, 0, CHUNK)
+                jax.lax.fori_loop(
+                    g_lo // G,
+                    pl.cdiv(g_hi, G),
+                    make_group_body(b * band_rows, band_rows, g_lo, g_hi),
+                    0,
+                    unroll=False,
+                )
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0, unroll=False)
@@ -1032,7 +1119,9 @@ def _raster_kernel_sublane(
 
     # ---- finalize: evaluate winner planes, select vs init/background ------
     # Plane coefficients live field-major (FW, tile_h, tile_w), so each
-    # evaluation is a full-tile (tile_h, 128) VPU op.
+    # evaluation is a full-tile (tile_h, 128) VPU op.  (Banded records are
+    # re-anchored at the OUTPUT tile origin by the binner — anchor_rows —
+    # so yf counts rows from the tile origin in every mode.)
     xf = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1).astype(jnp.float32)
     yf = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0).astype(jnp.float32)
 
@@ -1648,6 +1737,7 @@ def _raster_kernel_msaa4(
         "sublane",
         "sublane_group",
         "assemble",
+        "bin_rows",
     ),
 )
 def rasterize_vis_pallas(
@@ -1681,6 +1771,7 @@ def rasterize_vis_pallas(
     sublane_group: int = 8,
     origin=(0, 0),
     assemble: str = "xla",
+    bin_rows: int | None = None,
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -1705,22 +1796,52 @@ def rasterize_vis_pallas(
     to reference.oracle.rasterize_msaa4.
     """
     num_ch = 0 if channels is None else channels.shape[-1]
-    binned = bin_triangles(
-        ts,
-        width,
-        height,
-        tile_w,
-        tile_h,
-        max_pairs,
-        id_offset,
-        channels=channels,
-        perspective=perspective,
-        msaa4=msaa4,
-        origin=origin,
-        slots=slots,
-        assemble=assemble,
-        interpret=interpret,
-    )
+    if bin_rows is not None:
+        # Sub-tile band binning (Pipeline.raster_bin_rows): bin at
+        # (tile_w x bin_rows) granularity with column-major bin ids so
+        # one raster tile's bands stay contiguous in the record stream.
+        # Height is padded to the RASTER tile grid so every raster tile
+        # decomposes into exactly tile_h/bin_rows bands.
+        if tile_h % bin_rows:
+            raise ValueError(
+                f"bin_rows {bin_rows} must divide tile_h {tile_h}"
+            )
+        bin_h = -(-height // tile_h) * tile_h
+        binned = bin_triangles(
+            ts,
+            width,
+            bin_h,
+            tile_w,
+            bin_rows,
+            max_pairs,
+            id_offset,
+            channels=channels,
+            perspective=perspective,
+            msaa4=msaa4,
+            origin=origin,
+            slots=slots,
+            assemble=assemble,
+            interpret=interpret,
+            col_major_ids=True,
+            anchor_rows=tile_h,
+        )
+    else:
+        binned = bin_triangles(
+            ts,
+            width,
+            height,
+            tile_w,
+            tile_h,
+            max_pairs,
+            id_offset,
+            channels=channels,
+            perspective=perspective,
+            msaa4=msaa4,
+            origin=origin,
+            slots=slots,
+            assemble=assemble,
+            interpret=interpret,
+        )
     out = rasterize_binned(
         binned,
         width,
@@ -1745,6 +1866,7 @@ def rasterize_vis_pallas(
         unroll=unroll,
         sublane=sublane,
         sublane_group=sublane_group,
+        bin_rows=bin_rows,
     )
     if not return_overflow:
         return out
@@ -1777,6 +1899,7 @@ def rasterize_binned(
     unroll: int = 1,
     sublane: bool = False,
     sublane_group: int = 8,
+    bin_rows: int | None = None,
 ):
     """Rasterize an already-binned record stream (see bin_triangles).
 
@@ -1816,6 +1939,10 @@ def rasterize_binned(
         stencil_clear=stencil_clear,
     )
     batched = batch > 0
+    if bin_rows is not None and not sublane:
+        raise ValueError(
+            "bin_rows (sub-tile band binning) requires the sublane kernel"
+        )
     if sublane:
         if not (
             depth_test
@@ -1836,6 +1963,19 @@ def rasterize_binned(
                 f"sublane_group must be a multiple of 8 dividing {CHUNK}, "
                 f"got {sublane_group}"
             )
+        band_kw = {}
+        if bin_rows is not None:
+            if msaa4:
+                raise ValueError("bin_rows is not supported with msaa4 yet")
+            if tile_h % bin_rows:
+                raise ValueError(
+                    f"bin_rows {bin_rows} must divide tile_h {tile_h}"
+                )
+            # The bin grid has tile_h/bin_rows band-rows per raster tile
+            # row (binned with col_major_ids; see bin_triangles).
+            band_kw = dict(
+                band_rows=bin_rows, num_by=num_ty * (tile_h // bin_rows)
+            )
         kernel = functools.partial(
             _raster_kernel_msaa4_sublane if msaa4 else _raster_kernel_sublane,
             tile_w=tile_w,
@@ -1848,6 +1988,7 @@ def rasterize_binned(
             num_channels=num_ch,
             scissor=scissor,
             group=sublane_group,
+            **band_kw,
         )
     elif batched:
         if not (

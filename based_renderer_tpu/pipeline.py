@@ -290,6 +290,21 @@ class Pipeline:
     # loads and loop control over more records (a pure throughput knob —
     # coverage/depth stay bit-identical).  Multiple of 8, dividing 128.
     raster_group: int = 8
+    # Sub-tile band binning: bin records at (tile_w x raster_bin_rows)
+    # granularity (None = whole raster tile).  The sublane kernel then
+    # evaluates each record over only its band's rows instead of the full
+    # tile_h — on tiny-triangle meshes most records cover 1-2 rows, so
+    # pass-1 row work drops ~tile_h/raster_bin_rows-fold at the cost of
+    # more (band, tri) pairs in the binner (a triangle spanning a band
+    # boundary bins once per band).  Band-bin tile ids are COLUMN-major
+    # so one output tile's bands stay contiguous in the sorted record
+    # stream (one DMA stream per tile).  Coverage/depth/tri_id stay
+    # bit-identical: bands partition pixel rows, so each pixel still sees
+    # exactly its own records in draw order.  Requires raster_sublane,
+    # tile_w == 128; must divide raster_tile's height.  Budget factors
+    # (raster_pairs_factor / raster_slots_factor) should be raised to
+    # cover the extra band-crossing pairs.
+    raster_bin_rows: int | None = None
     # Binner record assembly: "xla" materializes the post-sort transpose
     # and column assembly as XLA ops; "pallas" fuses them into one
     # streaming kernel (ops/binassem.py) — measured the biggest binner
@@ -355,6 +370,14 @@ class Pipeline:
                 f"raster_group must be a multiple of 8 dividing 128, "
                 f"got {self.raster_group}"
             )
+        if self.raster_bin_rows is not None:
+            if th % self.raster_bin_rows or self.raster_bin_rows <= 0:
+                raise ValueError(
+                    f"raster_bin_rows must divide raster_tile height {th}, "
+                    f"got {self.raster_bin_rows}"
+                )
+            if not self.raster_sublane:
+                raise ValueError("raster_bin_rows requires raster_sublane")
         if self.raster_assemble not in ("xla", "pallas"):
             raise ValueError(
                 f"raster_assemble must be 'xla' or 'pallas', got {self.raster_assemble!r}"

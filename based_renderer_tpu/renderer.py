@@ -773,6 +773,14 @@ class Renderer:
                         sublane_group=pipe.raster_group,
                         unroll=pipe.raster_unroll,
                         assemble=pipe.raster_assemble,
+                        # Sub-tile band binning only where the sublane
+                        # variant actually runs (and not under MSAA — the
+                        # MSAA sublane kernel has no band path yet).
+                        bin_rows=(
+                            pipe.raster_bin_rows
+                            if variant_ok[i][1] and not coverage_msaa
+                            else None
+                        ),
                         return_overflow=True,
                         # Mosaic has no CPU target; tests on the CPU
                         # backend run the kernel interpreted.
