@@ -33,6 +33,26 @@ def main():
         # checksum cross-check in tests/test_renderer.py).
         "noclip": {"depth": noclip_depth},
         "combo": {"depth": noclip_depth, "raster_group": 64},
+        # Sub-tile band binning (Pipeline.raster_bin_rows): records bin
+        # per (128 x bin_rows) band, the sublane kernel evaluates only
+        # the band's rows.  Pairs/tri roughly scale with the number of
+        # bands a tiny triangle's bbox crosses, so widen both budgets.
+        "bin4": {
+            "raster_bin_rows": 4,
+            "raster_pairs_factor": 1.8,
+            "raster_slots_factor": 1.1,
+        },
+        "bin2": {
+            "raster_bin_rows": 2,
+            "raster_pairs_factor": 2.6,
+            "raster_slots_factor": 1.7,
+        },
+        "bin4g32": {
+            "raster_bin_rows": 4,
+            "raster_pairs_factor": 1.8,
+            "raster_slots_factor": 1.1,
+            "raster_group": 32,
+        },
     }
     arm = sys.argv[1] if len(sys.argv) > 1 else "default"
     size = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
