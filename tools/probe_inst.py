@@ -27,6 +27,19 @@ ARMS = {
     "slots12": {"raster_slots_factor": 1.2},
     "noclip": "noclip",  # depth.clip=False (geometry never leaves [0,1])
     "combo": "combo",  # stack of the individually-winning knobs
+    # Sub-tile band binning on top of the current demo defaults (the
+    # demo already stacks noclip+group32+pallas+slots1.2): widen the
+    # pair budget for band-crossing records.
+    "bin4": {
+        "raster_bin_rows": 4,
+        "raster_pairs_factor": 3.2,
+        "raster_slots_factor": 1.9,
+    },
+    "bin2": {
+        "raster_bin_rows": 2,
+        "raster_pairs_factor": 4.5,
+        "raster_slots_factor": 3.0,
+    },
 }
 
 # Back-compat names from the round-3 logs (cull was the demo default then).

@@ -109,6 +109,27 @@ def check_bit_identity():
     print(f"sublane mosaic: {l_ok}", flush=True)
     ok &= l_ok
 
+    # Sub-tile band binning (Pipeline.raster_bin_rows) under compiled
+    # Mosaic: column-major band bin ids + output-tile re-anchoring + the
+    # kernel's per-band group loops must reproduce the unbanded result
+    # bit-exactly (records are re-anchored, so even the f32 varying
+    # planes must match bit-for-bit).
+    for br in (2, 4):
+        vb_r = rasterize_vis_pallas(
+            ts2, W, H, tile_h=8, sublane=True, bin_rows=br
+        )
+        br_ok = np.array_equal(
+            np.asarray(vb_r.tri_id), ob["tri_id"]
+        ) and np.array_equal(np.asarray(vb_r.depth_q), ob["depth_q"])
+        for k in ("b0", "b1", "b2"):
+            br_ok &= bool(
+                np.array_equal(
+                    np.asarray(getattr(vb_r, k)), np.asarray(getattr(vl, k))
+                )
+            )
+        print(f"sublane bin_rows={br} mosaic: {br_ok}", flush=True)
+        ok &= br_ok
+
     # Sublane coverage-MSAA kernel under compiled Mosaic (the widened
     # one-hot matmul + per-sample accumulators).
     vms = rasterize_vis_pallas(ts, W, H, tile_h=8, sublane=True, msaa4=True)
