@@ -167,14 +167,26 @@ def main():
         print(json.dumps(run_one(sys.argv[2])), flush=True)
         return
 
+    import fcntl
+
     only = sys.argv[1] if len(sys.argv) > 1 else None
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.jsonl")
-    # Stream: truncate once, then append + flush each metric the moment
-    # its subprocess returns, so a timeout mid-run still leaves every
-    # completed metric on disk (round-3 lesson: the all-at-the-end write
-    # left zero artifacts from the timed-out driver run).
-    if not only:
-        open(out, "w").close()
+    # Stream APPEND-ONLY: each metric is appended under an exclusive flock
+    # the moment its subprocess returns, stamped with this run's id — a
+    # timeout mid-run still leaves every completed metric on disk, and two
+    # overlapping runs can neither tear a line nor leave lines whose
+    # provenance is ambiguous (round-4 lesson: truncate-then-append
+    # interleaved two runs into one unattributable file).  Consumers
+    # (tools/gen_readme_table.py) take the LAST line per metric.
+    run_id = f"{time.strftime('%Y%m%dT%H%M%S')}-{os.getpid()}"
+
+    def append_line(line):
+        with open(out, "a") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.write(line + "\n")
+            f.flush()
+            fcntl.flock(f, fcntl.LOCK_UN)
+
     flagship_line = None
     for cfg in CONFIGS:
         if only and only not in cfg[0]:
@@ -184,17 +196,18 @@ def main():
             capture_output=True,
             text=True,
         )
-        line = next(
+        raw = next(
             (l for l in proc.stdout.splitlines() if l.startswith("{")), None
         )
-        if proc.returncode != 0 or line is None:
+        if proc.returncode != 0 or raw is None:
             sys.stderr.write(proc.stderr[-2000:] + "\n")
             raise SystemExit(f"bench subprocess for {cfg[0]} failed")
+        rec = json.loads(raw)
+        rec["run_id"] = run_id
+        line = json.dumps(rec)
         print(line, flush=True)
         if not only:
-            with open(out, "a") as f:
-                f.write(line + "\n")
-                f.flush()
+            append_line(line)
         if cfg[0] == FLAGSHIP:
             flagship_line = line
     if flagship_line is not None and not only:

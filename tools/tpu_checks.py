@@ -6,11 +6,18 @@ bit-identity; this script re-proves it against the *compiled* Mosaic
 kernel and the real XLA:TPU backend, where f32 division is not IEEE and
 FMA contraction differs — exactly the hazards the spec was built against.
 
-    python tools/tpu_checks.py            # correctness
+    python tools/tpu_checks.py            # correctness (full)
+    python tools/tpu_checks.py --quick    # every kernel-variant arm, one seed,
+                                          # skips the renderer-level e2e checks
+                                          # (< 3 min with a warm compile cache)
     python tools/tpu_checks.py --perf     # + per-config throughput
 
 Run it from the repo root; expect a few minutes of kernel compiles on
 first run (enable the persistent cache to amortize).
+
+Ritual (CLAUDE.md): any commit touching ops/raster_*, ops/binning.py, or
+ops/binassem.py requires a green run (at least --quick) on the real TPU
+before the round ends; commit the log (tools/tpu_checks_r*.log).
 """
 
 import argparse
@@ -21,7 +28,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def check_bit_identity():
+def check_bit_identity(quick: bool = False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -31,7 +38,7 @@ def check_bit_identity():
     from based_renderer_tpu.reference import oracle
 
     ok = True
-    for seed in range(4):
+    for seed in range(1 if quick else 4):
         rng = np.random.default_rng(seed)
         n = 24
         w = rng.uniform(0.5, 3.0, size=(n, 3, 1)).astype(np.float32)
@@ -113,12 +120,20 @@ def check_bit_identity():
     # Mosaic: column-major band bin ids + output-tile re-anchoring + the
     # kernel's per-band group loops must reproduce the unbanded result
     # bit-exactly (records are re-anchored, so even the f32 varying
-    # planes must match bit-for-bit).
+    # planes must match bit-for-bit).  Band binning multiplies (band, tri)
+    # pairs ~tile_h/bin_rows-fold, so size the budgets for the banded
+    # stream (mirrors tests/test_bin_rows.py) and ASSERT the overflow flag
+    # — a breached budget silently drops records and would "fail" the
+    # comparison for a reason that has nothing to do with the kernel
+    # (exactly the round-4 bug this arm shipped with).
+    band_budget = dict(max_pairs=n * 256, slots=n * 256)
     for br in (2, 4):
-        vb_r = rasterize_vis_pallas(
-            ts2, W, H, tile_h=8, sublane=True, bin_rows=br
+        vb_r, of_r = rasterize_vis_pallas(
+            ts2, W, H, tile_h=8, sublane=True, bin_rows=br,
+            return_overflow=True, **band_budget,
         )
-        br_ok = np.array_equal(
+        br_ok = not bool(np.asarray(of_r))
+        br_ok &= np.array_equal(
             np.asarray(vb_r.tri_id), ob["tri_id"]
         ) and np.array_equal(np.asarray(vb_r.depth_q), ob["depth_q"])
         for k in ("b0", "b1", "b2"):
@@ -129,6 +144,29 @@ def check_bit_identity():
             )
         print(f"sublane bin_rows={br} mosaic: {br_ok}", flush=True)
         ok &= br_ok
+
+    # Band binning with the PALLAS record assembly — the configuration the
+    # probe arms actually time (bin_rows stacked on raster_assemble=
+    # "pallas").  tri_id/depth_q stay bit-exact; the re-anchored f32 plane
+    # BASES may differ from the XLA assembly by ~1 ulp of the largest
+    # term (tests/test_binassem.py), so bases get a tight tolerance.
+    vb_p, of_p = rasterize_vis_pallas(
+        ts2, W, H, tile_h=8, sublane=True, bin_rows=2, assemble="pallas",
+        return_overflow=True, **band_budget,
+    )
+    bp_ok = not bool(np.asarray(of_p))
+    bp_ok &= np.array_equal(
+        np.asarray(vb_p.tri_id), ob["tri_id"]
+    ) and np.array_equal(np.asarray(vb_p.depth_q), ob["depth_q"])
+    for k in ("b0", "b1", "b2"):
+        bp_ok &= bool(
+            np.allclose(
+                np.asarray(getattr(vb_p, k)), np.asarray(getattr(vl, k)),
+                rtol=1e-6, atol=2e-5,
+            )
+        )
+    print(f"sublane bin_rows=2 pallas-assembly mosaic: {bp_ok}", flush=True)
+    ok &= bp_ok
 
     # Sublane coverage-MSAA kernel under compiled Mosaic (the widened
     # one-hot matmul + per-sample accumulators).
@@ -165,6 +203,13 @@ def check_bit_identity():
     )
     print(f"msaa4 sublane late_bias mosaic: {cm_ok}", flush=True)
     ok &= cm_ok
+
+    if quick:
+        # --quick covers every KERNEL-variant arm above; the remaining
+        # checks are renderer-level end-to-end compiles (instance_cull,
+        # separable sampler) that dominate cold wall time.
+        print("TPU BIT-IDENTITY (quick):", "PASS" if ok else "FAIL", flush=True)
+        return ok
 
     # Per-instance culling end-to-end on the real backend: culled frame
     # must be bit-identical (tri_id/depth_q) to the unculled one.
@@ -283,11 +328,12 @@ def perf():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--perf", action="store_true")
+    ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     from based_renderer_tpu.utils import cache
 
     cache.enable_persistent_cache()
-    ok = check_bit_identity()
+    ok = check_bit_identity(quick=args.quick)
     if args.perf:
         perf()
     sys.exit(0 if ok else 1)
