@@ -27,6 +27,7 @@ the whole framebuffer on the VPU, after visibility is resolved.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -65,6 +66,115 @@ def get(name: str) -> Shader:
 
 def names() -> list[str]:
     return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Shader modules on disk (the Slang-toolchain tier)
+# ---------------------------------------------------------------------------
+
+#: Directories searched by :func:`load_module`, the analog of the Slang
+#: session's ``src/`` search path (/root/reference/src/main.cpp:1613-1617).
+MODULE_SEARCH_PATH: list[str] = ["."]
+
+
+def load_file(path, name: str | None = None) -> Shader:
+    """Compile + register a shader module from a Python source file.
+
+    The reference compiles shader *source on disk* at runtime —
+    ``loadModule("cube")`` finds ``cube.slang`` on the session search path,
+    compiles it, and binds its ``vs``/``ps`` entry points
+    (/root/reference/src/main.cpp:1607-1647); a new material is a new
+    source file, no rebuild.  This is that tier for the Python shader ABI:
+    the file is exec'd with this module's vocabulary in scope (``Shader``,
+    ``register``, ``jnp``, ``math3d``, ``tex_ops``, ``mvp_transform`` —
+    normal ``import`` statements also work), and must define ONE of:
+
+      - ``SHADER`` — a :class:`Shader` instance (registered under its own
+        ``name``, or under ``name``/the file stem when given namelessly),
+      - exactly one module-level :class:`Shader` value, or
+      - ``vertex``/``fragment`` callables (plus optional ``ATTRIBUTES``),
+        bound as ``Shader(<stem>, vertex, fragment, ATTRIBUTES)``.
+
+    Compile and validation failures raise :class:`ShaderError` carrying
+    the source path, the diagnostic, and the registered-module list — the
+    ``SLANG_CHECK`` diagnostics path (main.cpp:586-606, 1635-1647).
+    """
+    src_path = os.fspath(path)
+    try:
+        with open(src_path) as f:
+            src = f.read()
+    except OSError as e:
+        raise ShaderError(
+            f"cannot read shader module {src_path!r}: {e}; "
+            f"registered: {sorted(_REGISTRY)}"
+        ) from None
+    module_name = name or os.path.splitext(os.path.basename(src_path))[0]
+    ns: dict = {
+        "Shader": Shader,
+        "register": register,
+        "jnp": jnp,
+        "math3d": math3d,
+        "tex_ops": tex_ops,
+        "mvp_transform": mvp_transform,
+        "__name__": f"based_renderer_tpu.shader.modules.{module_name}",
+        "__file__": src_path,
+    }
+    try:
+        exec(compile(src, src_path, "exec"), ns)
+    except ShaderError:
+        raise
+    except SyntaxError as e:
+        raise ShaderError(
+            f"shader module {src_path!r}: {e.__class__.__name__}: {e}"
+        ) from e
+    except Exception as e:
+        raise ShaderError(
+            f"shader module {src_path!r} raised during load: "
+            f"{e.__class__.__name__}: {e}"
+        ) from e
+
+    shd = ns.get("SHADER")
+    if not isinstance(shd, Shader):
+        found = [v for k, v in ns.items() if isinstance(v, Shader) and k != "Shader"]
+        if len(found) == 1:
+            shd = found[0]
+        elif callable(ns.get("vertex")) and callable(ns.get("fragment")):
+            shd = Shader(
+                module_name,
+                ns["vertex"],
+                ns["fragment"],
+                tuple(ns.get("ATTRIBUTES", ())),
+            )
+        else:
+            raise ShaderError(
+                f"shader module {src_path!r} defines no entry points: expected "
+                f"SHADER, a single Shader value, or vertex+fragment callables "
+                f"(found {len(found)} Shader values"
+                f"{', a vertex callable' if callable(ns.get('vertex')) else ''}"
+                f"{', a fragment callable' if callable(ns.get('fragment')) else ''}); "
+                f"registered: {sorted(_REGISTRY)}"
+            )
+    if name is not None and shd.name != name:
+        shd = Shader(name, shd.vertex, shd.fragment, shd.attributes)
+    return register(shd)
+
+
+def load_module(name: str, search_paths=None) -> Shader:
+    """``loadModule("cube")``: find ``<name>.py`` on the search path and
+    :func:`load_file` it.  Already-registered names return the registered
+    shader without touching the filesystem (module-identity caching, the
+    ``vk::PipelineCache``-session analog)."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    paths = MODULE_SEARCH_PATH if search_paths is None else list(search_paths)
+    for d in paths:
+        candidate = os.path.join(d, f"{name}.py")
+        if os.path.exists(candidate):
+            return load_file(candidate, name=name)
+    raise ShaderError(
+        f"no shader module {name!r} on search path {paths}; "
+        f"registered: {sorted(_REGISTRY)}"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ BATCHES = [
         "tests/test_pallas.py",
         "tests/test_msaa.py",
         "tests/test_binassem.py",
+        "tests/test_bin_rows.py",
     ],
     [
         "tests/test_raster_bitexact.py",
@@ -48,6 +49,7 @@ BATCHES = [
         "tests/test_blend_state.py",
         "tests/test_depth_bias.py",
         "tests/test_stencil.py",
+        "tests/test_cull.py",
     ],
     [
         "tests/test_texture.py",
@@ -55,6 +57,7 @@ BATCHES = [
         "tests/test_golden.py",
         "tests/test_present.py",
         "tests/test_runtime.py",
+        "tests/test_shader_load.py",
     ],
 ]
 
