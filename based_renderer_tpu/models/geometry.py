@@ -199,3 +199,102 @@ def procedural_mesh_data(target_triangles: int = 1_000_000, seed: int = 0):
         "normal": normals.astype(np.float32),
         "indices": tris,
     }
+
+
+def procedural_mesh_device(target_triangles: int = 1_000_000, seed: int = 0):
+    """Traceable ON-DEVICE twin of :func:`procedural_mesh_data`.
+
+    Returns a zero-arg function producing the DE-INDEXED per-corner
+    attribute dict ``{"position": (3T, 3), "normal": (3T, 3)}`` —
+    exactly the layout ``upload_mesh(**procedural_mesh_data(...))``
+    reaches after its host-side de-index — built entirely from jnp ops
+    so it can run INSIDE a compiled program (``scene.generated_mesh``).
+
+    Why: a 1M-triangle mesh captured as compile-time constants bakes
+    ~144 MB of vertex data into every sequence executable (measured:
+    ~505 MB raw / ~90 MB compressed cache entries whose remote
+    serialize/load dominates benchmark and driver wall time).  Generated
+    in-program, the same mesh is ~a kilobyte of code; generation runs
+    once per DISPATCH (outside the frame scan), so per-frame cost is
+    unchanged.  Values are f32 (not the numpy twin's f64 pipeline), so
+    the two meshes agree in shape/topology but differ by float rounding
+    — a workload definition, not a bit-contract (the raster bit-identity
+    contract starts at the clip-space input).
+    """
+    import jax.numpy as jnp
+
+    rings = int(np.sqrt(target_triangles / 2 * 2))
+    segs = max(8, int(target_triangles / (2 * rings)))
+    p, q = 2, 3
+    rng = np.random.default_rng(seed)
+    amp = rng.uniform(0.02, 0.08, 4)
+    freq = rng.integers(3, 9, 4)
+
+    def gen():
+        t = (
+            jnp.arange(rings, dtype=jnp.float32)
+            * jnp.float32(2 * np.pi / rings)
+        )
+        r = 2.0 + jnp.cos(q * t)
+        center = jnp.stack(
+            [r * jnp.cos(p * t), r * jnp.sin(p * t), -jnp.sin(q * t)], axis=-1
+        )  # (rings, 3)
+        d = jnp.roll(center, -1, axis=0) - jnp.roll(center, 1, axis=0)
+        tangent = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        side = jnp.cross(tangent, jnp.broadcast_to(up, tangent.shape))
+        side = side / jnp.linalg.norm(side, axis=-1, keepdims=True)
+        up2 = jnp.cross(side, tangent)
+        phi = (
+            jnp.arange(segs, dtype=jnp.float32) * jnp.float32(2 * np.pi / segs)
+        )
+        radius = 0.45 + sum(
+            jnp.float32(a)
+            * jnp.cos(jnp.float32(f) * phi)[None, :]
+            * jnp.cos((i + 2) * t)[:, None]
+            for i, (a, f) in enumerate(zip(amp, freq))
+        )
+        ring_pts = center[:, None, :] + radius[..., None] * (
+            jnp.cos(phi)[None, :, None] * side[:, None, :]
+            + jnp.sin(phi)[None, :, None] * up2[:, None, :]
+        )
+        positions = ring_pts.reshape(-1, 3)  # (rings*segs, 3)
+
+        ri = jnp.arange(rings, dtype=jnp.int32)
+        si = jnp.arange(segs, dtype=jnp.int32)
+        rr = jnp.broadcast_to(ri[:, None], (rings, segs))
+        ss = jnp.broadcast_to(si[None, :], (rings, segs))
+        v00 = rr * segs + ss
+        v01 = rr * segs + (ss + 1) % segs
+        v10 = ((rr + 1) % rings) * segs + ss
+        v11 = ((rr + 1) % rings) * segs + (ss + 1) % segs
+        tris = jnp.concatenate(
+            [
+                jnp.stack([v00, v10, v11], -1).reshape(-1, 3),
+                jnp.stack([v00, v11, v01], -1).reshape(-1, 3),
+            ]
+        )  # (T, 3) int32, same ordering as the numpy twin
+
+        e1 = positions[tris[:, 1]] - positions[tris[:, 0]]
+        e2 = positions[tris[:, 2]] - positions[tris[:, 0]]
+        fn = jnp.cross(e1, e2)
+        normals = jnp.zeros_like(positions)
+        for k in range(3):
+            normals = normals.at[tris[:, k]].add(fn)
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12
+        )
+        scale = 1.0 / jnp.abs(positions).max()
+        positions = positions * scale
+
+        # De-index to the corner-sequential upload layout with ONE fused
+        # row gather (gather discipline: one wide row gather, never
+        # per-column gathers — ops/binning.py).
+        fused = jnp.concatenate([positions, normals], axis=-1)  # (V, 6)
+        flat = fused[tris.reshape(-1)]  # (3T, 6)
+        return {
+            "position": flat[:, :3],
+            "normal": flat[:, 3:],
+        }
+
+    return gen

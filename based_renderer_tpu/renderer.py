@@ -245,6 +245,14 @@ class Renderer:
     def upload_mesh(self, positions, indices=None, **attrs) -> Mesh:
         return upload_mesh(positions, indices=indices, device=self.device, **attrs)
 
+    def generated_mesh(self, generator) -> Mesh:
+        """Mesh defined by a traceable generator (scene.generated_mesh):
+        sequence programs synthesize it in-program instead of capturing
+        ~MBs of vertex constants into the executable."""
+        from .scene import generated_mesh
+
+        return generated_mesh(generator, device=self.device)
+
     def upload_texture(
         self,
         image,
@@ -1342,11 +1350,21 @@ class Renderer:
         # sequence program — render_sequence is the offline/animation
         # batch path, where per-sequence compiles amortize.
         base_dyn = self._dynamic_args(draws)
-        for d in base_dyn:
+        # Generator meshes (scene.generated_mesh): synthesize the vertex
+        # data IN-PROGRAM, once per dispatch before the scan, instead of
+        # capturing it — a captured 1M-triangle mesh bakes ~144 MB of
+        # constants into the executable (~505 MB raw, ~90 MB compressed
+        # cache entry) whose remote serialize/load dominates bench/driver
+        # wall time, while the generated form is pure code.  Per-frame
+        # cost is unchanged: generation sits outside the lax.scan.
+        gens = [getattr(sd["mesh"], "generator", None) for sd in seq_draws]
+        for d, g in zip(base_dyn, gens):
             # Frame-0 uniforms are rebuilt per call (fresh arrays) and the
             # scan body replaces them anyway — keep them out of the
             # captured constants so their ids don't churn the cache key.
             d.pop("uniforms")
+            if g is not None:
+                d.pop("attrs")  # synthesized in seq(); never captured
         stats = [
             jax.tree.map(self._uniform_leaf, sd.get("static_uniforms") or {})
             for sd in seq_draws
@@ -1359,17 +1377,24 @@ class Renderer:
             self._frame_clear[1],
             const_ids,
             tuple(id(fn) if fn is not None else None for fn in fns),
+            tuple(id(g) if g is not None else None for g in gens),
         )
         program = self._program_cache.get(key)
         if program is None:
             single = self._build_program(draws, self._frame_clear[1], jit=False)
 
             def seq(useqs, ticks, tb, clear_color):
+                gen_attrs = [
+                    g() if g is not None else None for g in gens
+                ]
+
                 def body(carry, xs):
                     us, tick = xs
                     ds = []
                     for i, d0 in enumerate(base_dyn):
                         d = dict(d0)
+                        if gen_attrs[i] is not None:
+                            d["attrs"] = gen_attrs[i]
                         if fns[i] is not None:
                             u = fns[i](tb[0] + tb[1] * tick.astype(jnp.float32))
                         else:

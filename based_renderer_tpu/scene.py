@@ -27,10 +27,15 @@ class Mesh:
       "position" (N, 2|3|4).
     indices: (T, 3) int32 triangle list, or None for non-indexed
       (sequential triples, like the reference's vkCmdDraw path).
+    generator: optional zero-arg traceable function producing the SAME
+      attribute dict from jnp ops (see :func:`generated_mesh`) — lets
+      sequence programs synthesize the mesh in-program instead of baking
+      hundreds of MB of vertex constants into the executable.
     """
 
     attributes: dict
     indices: Optional[jnp.ndarray]
+    generator: object = None
 
     @property
     def num_vertices(self) -> int:
@@ -141,6 +146,32 @@ def upload_mesh(positions, indices=None, device=None, **attrs) -> Mesh:
     if a["position"].shape[0] % 3 != 0:
         raise ValueError("non-indexed mesh needs a multiple-of-3 vertex count")
     return Mesh(attributes=a, indices=None)
+
+
+def generated_mesh(generator, device=None) -> Mesh:
+    """Mesh whose vertex data is DEFINED BY CODE (a traceable generator).
+
+    ``generator()`` must return a dict of (N, C) f32 corner-sequential
+    attributes (containing "position") built from jnp ops.  It runs once
+    eagerly here to materialize concrete attributes for single-frame
+    renders and validation; batched sequence programs
+    (renderer.render_sequence_multi) instead call it INSIDE the compiled
+    program, once per dispatch before the frame scan — so the mesh is
+    never baked into the executable as constants (a 1M-triangle mesh
+    otherwise costs ~505 MB of executable, whose remote serialization
+    dominates tooling wall time; see models/geometry.py
+    procedural_mesh_device).  The eager and in-program values may differ
+    by compilation-dependent float rounding; programs are self-consistent
+    (each uses exactly one of the two).
+    """
+    import jax
+
+    a = jax.jit(generator)()
+    if device is not None:
+        a = {k: jax.device_put(v, device) for k, v in a.items()}
+    if a["position"].shape[0] % 3 != 0:
+        raise ValueError("generated mesh needs a multiple-of-3 vertex count")
+    return Mesh(attributes=dict(a), indices=None, generator=generator)
 
 
 def _patch_rows(level: np.ndarray, wrap: str) -> np.ndarray:

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Production render_sequence timing for the big_mesh demo on TPU.
+
+With the demo mesh now GENERATED in-program (scene.generated_mesh), this
+is the bench-identical schedule: per-frame cost must match the old
+closure-capture baseline (~54-56 ms at 1M tris 1080p) while the
+executable drops from ~505 MB to code.
+
+    python tools/probe_gen.py [WxH [msaa]]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from based_renderer_tpu.utils import cache
+
+    cache.enable_persistent_cache()
+    from kernel_probe import time_demo
+
+    size = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
+    msaa = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    W, H = (int(v) for v in size.split("x"))
+    n1, n2 = (1, 4) if W > 2560 else (2, 8)
+    t0 = time.time()
+    dt, of = time_demo("big_mesh", W, H, n1, n2, {}, msaa=msaa, triangles=1_000_000)
+    print(
+        f"big_mesh {size} msaa{msaa} gen: {dt * 1e3:8.3f} ms/frame "
+        f"overflow={of} (wall {time.time() - t0:.0f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
