@@ -61,23 +61,43 @@ def main():
     clear_color = jnp.asarray(r._frame_clear[0], jnp.float32)
 
     capture = arm == "cap"
+    carry_mode = arm in ("carry", "gencarry")
 
     def seq(dyn, useq, ticks, clear):
-        src = base_dyn if capture else dyn
+        if arm == "gencarry":
+            # In-program generation, then thread the big arrays through
+            # the scan CARRY: while-loop carries get ONE layout chosen
+            # for the whole loop (init + body), so the per-step
+            # conversion a loop-invariant free operand pays should
+            # disappear.
+            from based_renderer_tpu.models import geometry as geo
+
+            g = geo.procedural_mesh_device(tris)()
+            dyn = tuple(
+                {**d, "attrs": g} for d in [dict(d0) for d0 in base_dyn]
+            )
+        src0 = base_dyn if capture else dyn
         if arm == "argbar":
-            src = jax.lax.optimization_barrier(src)
+            src0 = jax.lax.optimization_barrier(src0)
 
         def body(carry, xs):
             u, tick = xs
+            if carry_mode:
+                flag, src = carry
+            else:
+                flag, src = carry, src0
             ds = []
             for d0 in src:
                 d = dict(d0)
                 d["uniforms"] = u
                 ds.append(d)
             color, _dq, _ti, _st, of = single(ds, clear)
-            return carry | of, jnp.sum(color)
+            out_carry = (flag | of, src) if carry_mode else flag | of
+            return out_carry, jnp.sum(color)
 
-        of, sums = jax.lax.scan(body, jnp.bool_(False), (useq, ticks))
+        init = (jnp.bool_(False), src0) if carry_mode else jnp.bool_(False)
+        fin, sums = jax.lax.scan(body, init, (useq, ticks))
+        of = fin[0] if carry_mode else fin
         return sums, of
 
     def make_useq(n, phase):
