@@ -60,6 +60,31 @@ def main():
         d.pop("uniforms")
     clear_color = jnp.asarray(r._frame_clear[0], jnp.float32)
 
+    if arm == "prod":
+        # The PRODUCTION path (renderer.render_sequence with the
+        # generator-aware carry threading) under this probe's exact
+        # harness — the apples-to-apples check against gencarry.
+        def run_prod(n, phase):
+            useq = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[uniforms(phase + 0.016 * i) for i in range(n)],
+            )
+            return np.asarray(r.render_sequence(pipe, mesh, useq))
+
+        best = {}
+        for n in (n1, n2):
+            run_prod(n, 0.9)  # compile
+            b = 1e9
+            for k in range(2):
+                t0 = time.perf_counter()
+                s = run_prod(n, 1e-3 * (k + 1))
+                b = min(b, time.perf_counter() - t0)
+            assert len(set(np.round(s, 1))) > min(5, n // 4)
+            best[n] = b
+        dt = (best[n2] - best[n1]) / (n2 - n1)
+        print(f"big_mesh {size} prod: {dt * 1e3:8.3f} ms/frame", flush=True)
+        return
+
     capture = arm == "cap"
     carry_mode = arm in ("carry", "gencarry")
 
