@@ -40,6 +40,19 @@ ARMS = {
         "raster_pairs_factor": 4.5,
         "raster_slots_factor": 3.0,
     },
+    # Round-5 attribution arms (probe_stages instanced: 13.8 ms = 6.5
+    # bin + 6.4 raster + 0.8 vertex): the binner scales with BUDGETED
+    # slots (sort/gather/assembly run over the padded stream), and the
+    # demo's budgets (pairs 2.0 / slots 1.2) are ~1.7x looser than
+    # big_mesh's measured-tight 1.15/0.7 — so tighten toward the live
+    # pair rate (~0.5-0.55 pairs/tri for the backface-culled cube field;
+    # overflow is surfaced if an orbit phase exceeds the budget).  The
+    # raster side is plausibly per-tile-overhead-bound at ~2k tiles
+    # (120k records / 2025 tiles ~ 59/tile), so taller tiles trade fewer
+    # tile overheads against more rows evaluated per record.
+    "tight": {"raster_pairs_factor": 1.3, "raster_slots_factor": 0.8},
+    "tight11": {"raster_pairs_factor": 1.1, "raster_slots_factor": 0.7},
+    "tile32": {"raster_tile": (128, 32)},
 }
 
 # Back-compat names from the round-3 logs (cull was the demo default then).
