@@ -170,16 +170,27 @@ def instanced_demo(r: Renderer, count: int = 10_000):
     return pipe, mesh, uniforms, instances
 
 
-def big_mesh_demo(r: Renderer, triangles: int = 1_000_000):
+def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = False):
     """BASELINE config 5: ~1M-triangle mesh with Blinn-Phong shading.
 
-    The mesh is a GENERATED mesh (scene.generated_mesh): sequence
-    programs synthesize its ~144 MB of corner attributes on device once
-    per dispatch instead of capturing them as executable constants —
-    measured identical per-frame cost, ~20x smaller executables (the
-    captured form's ~90 MB compressed cache entries made every remote
-    compile/load of a big-mesh program minutes-slow)."""
-    mesh = r.generated_mesh(geometry.procedural_mesh_device(triangles))
+    ``generated=True`` swaps in the on-device generator mesh
+    (scene.generated_mesh): ~20x smaller sequence executables (the
+    captured mesh bakes ~505 MB raw / ~90 MB compressed constants whose
+    remote serialize/load is minutes-slow) at a measured +13-15 ms/frame
+    at 1M tris 1080p — every runtime-produced loop-invariant pays a
+    per-step in-scan layout conversion that XLA folds away only for
+    captured CONSTANTS (fresh v5e arms, tools/probe_capture.py: captured
+    53.6-56.3 vs generated/param/carry/AUTO-layout 68.1-69.1).  The
+    BASELINE config keeps the captured default: the 60 ms done-bar
+    beats tooling wall time."""
+    if generated:
+        mesh = r.generated_mesh(geometry.procedural_mesh_device(triangles))
+        data = None
+    else:
+        data = geometry.procedural_mesh_data(triangles)
+        mesh = r.upload_mesh(
+            data["positions"], indices=data["indices"], normal=data["normal"]
+        )
     pipe = Pipeline(
         shader="blinn_phong",
         depth=DepthState(test=True, write=True, compare="less"),

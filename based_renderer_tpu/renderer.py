@@ -1384,28 +1384,26 @@ class Renderer:
             single = self._build_program(draws, self._frame_clear[1], jit=False)
 
             def seq(useqs, ticks, tb, clear_color):
-                # Generator meshes: synthesize once per dispatch, then
-                # thread the arrays through the scan CARRY (pass-through).
-                # Measured on v5e (tools/probe_capture.py, 1M tris 1080p):
-                # a generated loop-invariant consumed as a free variable
-                # pays a per-step lane-padded layout conversion inside the
-                # scan (68.1 ms/frame), while carried it keeps the
-                # generator's loop-chosen layout (57.8) — within ~2 ms of
-                # the closure-capture baseline at ~20x smaller
-                # executables.  (Carrying jit PARAMETERS does not help —
-                # their host-boundary layout sticks: 68.9.)
+                # Generator meshes: synthesized once per dispatch, before
+                # the scan.  Measured on v5e (tools/probe_capture.py, 1M
+                # tris 1080p): any runtime-produced loop-invariant — jit
+                # parameter, generated, barriered, AUTO-layouts, or
+                # carry-threaded — pays a per-step in-scan layout
+                # conversion worth +13-15 ms/frame that XLA folds away
+                # only for captured constants (68.1-69.1 vs 53.6-56.3).
+                # Generated meshes are therefore a size/speed TRADE, not
+                # a free win; see models/demos.py big_mesh_demo.
                 gen_attrs = [
                     g() if g is not None else None for g in gens
                 ]
 
                 def body(carry, xs):
-                    flag, gen_c = carry
                     us, tick = xs
                     ds = []
                     for i, d0 in enumerate(base_dyn):
                         d = dict(d0)
-                        if gen_c[i] is not None:
-                            d["attrs"] = gen_c[i]
+                        if gen_attrs[i] is not None:
+                            d["attrs"] = gen_attrs[i]
                         if fns[i] is not None:
                             u = fns[i](tb[0] + tb[1] * tick.astype(jnp.float32))
                         else:
@@ -1416,12 +1414,12 @@ class Renderer:
                         ds.append(d)
                     color, _depth_q, _tri_id, _stencil, of = single(ds, clear_color)
                     out = (jnp.sum(color), color) if return_frames else jnp.sum(color)
-                    return (flag | of, gen_c), out
+                    return carry | of, out
 
                 # The ticks carry the frame count (and index uniforms_fn
                 # draws) even when every uniforms tree is empty.
-                (overflowed, _), outs = jax.lax.scan(
-                    body, (jnp.bool_(False), gen_attrs), (useqs, ticks)
+                overflowed, outs = jax.lax.scan(
+                    body, jnp.bool_(False), (useqs, ticks)
                 )
                 return outs, overflowed
 

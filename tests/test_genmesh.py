@@ -46,7 +46,7 @@ def test_sequence_synthesizes_in_program():
     per-frame renders to float rounding, and the captured constants must
     NOT contain the mesh attributes."""
     r = brt.Renderer(brt.RendererConfig(width=128, height=96, raster_backend="pallas"))
-    pipe, mesh, uniforms, _ = demos.big_mesh_demo(r, triangles=2000)
+    pipe, mesh, uniforms, _ = demos.big_mesh_demo(r, triangles=2000, generated=True)
     assert mesh.generator is not None
 
     frame_sums = []
