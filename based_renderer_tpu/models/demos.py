@@ -134,16 +134,22 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         # (which would double the triangle stream), and keep a tight pair
         # budget so binner gather traffic tracks real work.
         near_clip=False,
-        raster_pairs_factor=2.0,
+        # Round-5 stage attribution (tools/probe_stages.py instanced:
+        # 13.8 ms = 6.5 bin + 6.4 raster + 0.8 vertex) showed the binner
+        # scales with BUDGETED slots, so the budgets are tightened to the
+        # measured live rate (~0.5-0.55 pairs/tri over the orbit for the
+        # backface-culled field): fresh-process v5e arms read 11.24
+        # ms/frame at pairs 1.2 / slots 0.75 vs 13.46 at the old 2.0/1.2
+        # (pairs 1.1 / slots 0.7 OVERFLOWS — budget breach is surfaced,
+        # never silent).  Taller tiles lose (tile16 13.6, tile32 15.4).
+        raster_pairs_factor=1.2,
         # Record-dense scene: the sublane-parallel kernel (no per-record
-        # scalar reads) on short tiles.  The stacked knobs below are the
-        # measured per-arm winners (tools/probe_inst.py on v5e, fresh
-        # process per arm): noclip + group32 + pallas assembly +
-        # slots 1.2 reads 13.04 ms/frame vs 13.9-14.0 default.
+        # scalar reads) on short tiles, group32 + pallas assembly (the
+        # round-4 per-arm winners, tools/probe_inst.py).
         raster_sublane=True,
         raster_group=32,
         raster_assemble="pallas",
-        raster_slots_factor=1.2,
+        raster_slots_factor=0.75,
         raster_tile=(128, 8),
         # Per-instance frustum culling (Pipeline.instance_cull) is a net
         # LOSS here: the demo orbit keeps ~81-85% of instances visible,
