@@ -19,7 +19,7 @@ Quick start::
 from . import math3d, models, shader
 from .pipeline import BlendState, DepthState, Pipeline, StencilState
 from .renderer import FrameResult, Renderer, RendererConfig
-from .scene import Mesh, Texture, upload_mesh, upload_texture
+from .scene import Mesh, Texture, generated_mesh, upload_mesh, upload_texture
 from .shader import Shader, register
 from .utils import errors, image
 from .version import __version__
@@ -41,6 +41,7 @@ __all__ = [
     "models",
     "register",
     "shader",
+    "generated_mesh",
     "upload_mesh",
     "upload_texture",
     "__version__",

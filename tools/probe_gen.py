@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Production render_sequence timing for the big_mesh demo on TPU.
 
-With the demo mesh now GENERATED in-program (scene.generated_mesh), this
-is the bench-identical schedule: per-frame cost must match the old
-closure-capture baseline (~54-56 ms at 1M tris 1080p) while the
-executable drops from ~505 MB to code.
-
     python tools/probe_gen.py [WxH [msaa]]
+
+History: this probe established that the in-program-generated mesh does
+NOT match the closure-capture baseline (68.1-68.9 ms/frame vs 53.6-56.3
+at 1M tris 1080p, with or without scan-carry threading) — the demo
+default reverted to the captured mesh and generation became the opt-in
+size/speed trade (demos.big_mesh_demo(generated=True)).  With the
+captured default this now times the production bench schedule.
 """
 
 import os
