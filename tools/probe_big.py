@@ -53,6 +53,16 @@ def main():
             "raster_slots_factor": 1.1,
             "raster_group": 32,
         },
+        # Round-5 binner-dominance follow-up (stage split: 34.5 of
+        # 53.6 ms is binner; gather + assembly scale with the slot
+        # budget): tighten slots toward the worst measured live rate
+        # (0.560 pairs/tri at 1080p, tools/count_pairs.py).  Overflow is
+        # surfaced — an arm that overflows is invalid, not fast.
+        "slots065": {"raster_slots_factor": 0.65},
+        "slots06": {"raster_slots_factor": 0.6},
+        # The pair-expansion/sort stream is max_pairs = pairs_factor*T;
+        # extras (multi-tile pairs) are rare on this mesh.
+        "pairs105": {"raster_pairs_factor": 1.05, "raster_slots_factor": 0.65},
     }
     arm = sys.argv[1] if len(sys.argv) > 1 else "default"
     size = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
