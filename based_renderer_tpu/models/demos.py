@@ -207,8 +207,13 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = Fal
         # ~48% of triangles and live pairs measure ~0.52-0.55/tri over the
         # spin (tools/probe_earlyz.py), so budget a small extras stream
         # (multi-tile triangles are rare) and slice the sorted stream at
-        # 0.7 slots/tri — the binner's gather + assembly then run over
-        # ~half the slots.  At 4K the same triangles span more tiles
+        # 0.6 slots/tri (round-5 arms, v5e fresh-process: 51.7 ms/frame
+        # vs 54.5 at 0.65 and ~55.8 at the old 0.7 — the binner is 64%
+        # of the frame and its gather + assembly scale with slots; 0.6
+        # keeps 7% headroom over the worst measured orbit rate 0.560,
+        # and a breach surfaces as overflow, never silently).  Tighter
+        # PAIRS budgets fail: 1.05 overflows the extras stream.
+        # At 4K the same triangles span more tiles
         # (tools/count_pairs.py: worst 0.842 pairs/tri at 4K MSAA-4x vs
         # 0.560 at 1080p), so widen both budgets with the framebuffer.
         # Overflow is surfaced if a view ever exceeds them.  The tight
@@ -222,7 +227,7 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = Fal
             else 4.0
         ),
         raster_slots_factor=(
-            (0.7 if r.config.width <= 2560 else 1.0)
+            (0.6 if r.config.width <= 2560 else 1.0)
             if triangles >= 100_000
             else None
         ),
