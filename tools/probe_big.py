@@ -63,6 +63,9 @@ def main():
         # The pair-expansion/sort stream is max_pairs = pairs_factor*T;
         # extras (multi-tile pairs) are rare on this mesh.
         "pairs105": {"raster_pairs_factor": 1.05, "raster_slots_factor": 0.65},
+        # 4K tier (run with: probe_big.py slots09 3840x2160 4): worst
+        # measured 0.842 pairs/tri at 4K MSAA -> 0.9 keeps ~6.9% headroom.
+        "slots09": {"raster_slots_factor": 0.9},
     }
     arm = sys.argv[1] if len(sys.argv) > 1 else "default"
     size = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
