@@ -53,6 +53,7 @@ ARMS = {
     "tight": {"raster_pairs_factor": 1.3, "raster_slots_factor": 0.8},
     "tight11": {"raster_pairs_factor": 1.1, "raster_slots_factor": 0.7},
     "tight12": {"raster_pairs_factor": 1.2, "raster_slots_factor": 0.75},
+    "tight_s06": {"raster_pairs_factor": 1.2, "raster_slots_factor": 0.6},
     "tile32": {"raster_tile": (128, 32)},
 }
 
