@@ -138,10 +138,13 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         # 13.8 ms = 6.5 bin + 6.4 raster + 0.8 vertex) showed the binner
         # scales with BUDGETED slots, so the budgets are tightened to the
         # measured live rate (~0.5-0.55 pairs/tri over the orbit for the
-        # backface-culled field): fresh-process v5e arms read 11.24
-        # ms/frame at pairs 1.2 / slots 0.75 vs 13.46 at the old 2.0/1.2
-        # (pairs 1.1 / slots 0.7 OVERFLOWS — budget breach is surfaced,
-        # never silent).  Taller tiles lose (tile16 13.6, tile32 15.4).
+        # backface-culled field): fresh-process v5e arms read 10.95
+        # ms/frame at pairs 1.2 / slots 0.6 vs 11.24 at 1.2/0.75 and
+        # 13.46 at the old 2.0/1.2.  Full-orbit rates
+        # (tools/count_pairs.py, 400 frames): worst 0.5357 pairs/tri
+        # (slots 0.6 = 12% headroom), worst extras 0.1460 (pairs 1.2 =
+        # 4.7%); pairs 1.1 OVERFLOWS — budget breach is surfaced, never
+        # silent.  Taller tiles lose (tile16 13.6, tile32 15.4).
         raster_pairs_factor=1.2,
         # Record-dense scene: the sublane-parallel kernel (no per-record
         # scalar reads) on short tiles, group32 + pallas assembly (the
@@ -149,7 +152,7 @@ def instanced_demo(r: Renderer, count: int = 10_000):
         raster_sublane=True,
         raster_group=32,
         raster_assemble="pallas",
-        raster_slots_factor=0.75,
+        raster_slots_factor=0.6,
         raster_tile=(128, 8),
         # Per-instance frustum culling (Pipeline.instance_cull) is a net
         # LOSS here: the demo orbit keeps ~81-85% of instances visible,
@@ -210,12 +213,14 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = Fal
         # 0.6 slots/tri (round-5 arms, v5e fresh-process: 51.7 ms/frame
         # vs 54.5 at 0.65 and ~55.8 at the old 0.7 — the binner is 64%
         # of the frame and its gather + assembly scale with slots; 0.6
-        # keeps 7% headroom over the worst measured orbit rate 0.560,
+        # keeps 6.8% headroom over the worst full-orbit rate 0.5616,
         # and a breach surfaces as overflow, never silently).  Tighter
         # PAIRS budgets fail: 1.05 overflows the extras stream.
         # At 4K the same triangles span more tiles
-        # (tools/count_pairs.py: worst 0.842 pairs/tri at 4K MSAA-4x vs
-        # 0.560 at 1080p), so widen both budgets with the framebuffer.
+        # (tools/count_pairs.py, 400-frame full-orbit sweep: worst
+        # 0.8483 pairs/tri at 4K MSAA-4x vs 0.5616 at 1080p), so widen
+        # both budgets with the framebuffer: 4K slices at 0.9 slots/tri
+        # (6.1% headroom; v5e arm: 135.3 ms vs 138.7 at 1.0).
         # Overflow is surfaced if a view ever exceeds them.  The tight
         # factors are measured for ~1M tiny triangles; at toy triangle
         # counts (tests, small demos) each triangle spans more tiles, so
@@ -227,7 +232,7 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = Fal
             else 4.0
         ),
         raster_slots_factor=(
-            (0.6 if r.config.width <= 2560 else 1.0)
+            (0.6 if r.config.width <= 2560 else 0.9)
             if triangles >= 100_000
             else None
         ),
