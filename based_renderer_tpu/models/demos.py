@@ -226,13 +226,19 @@ def big_mesh_demo(r: Renderer, triangles: int = 1_000_000, generated: bool = Fal
         # counts (tests, small demos) each triangle spans more tiles, so
         # fall back to the generous defaults there.
         near_clip=False,
+        # The wide tier applies for 4K AND for coverage-MSAA at any
+        # size: MSAA pads every bbox (fp.MSAA4_BBOX_PAD_FP), which
+        # strictly increases tile-crossing pairs, so the tight non-MSAA
+        # 1080p budgets must not key on width alone (full-orbit
+        # count_pairs: 1080p MSAA-4x worst 0.6443 pairs/tri and extras
+        # 0.1843 — BOTH above the non-MSAA 0.6/1.15 budgets).
         raster_pairs_factor=(
-            (1.15 if r.config.width <= 2560 else 1.4)
+            (1.15 if r.config.width <= 2560 and r.config.msaa == 1 else 1.4)
             if triangles >= 100_000
             else 4.0
         ),
         raster_slots_factor=(
-            (0.6 if r.config.width <= 2560 else 0.9)
+            (0.6 if r.config.width <= 2560 and r.config.msaa == 1 else 0.9)
             if triangles >= 100_000
             else None
         ),

@@ -163,15 +163,46 @@ def generated_mesh(generator, device=None) -> Mesh:
     procedural_mesh_device).  The eager and in-program values may differ
     by compilation-dependent float rounding; programs are self-consistent
     (each uses exactly one of the two).
+
+    Scope: the generator applies to the SINGLE-CHIP sequence path.  The
+    tiled/multi-chip sequence (parallel/tiled.py) passes mesh attributes
+    as runtime program ARGUMENTS — nothing is baked there in the first
+    place — so it uses the eager attributes and ignores the generator.
     """
     import jax
 
-    a = jax.jit(generator)()
+    a = dict(jax.jit(generator)())
+    if "position" not in a:
+        raise ValueError(
+            f"generated mesh must contain 'position'; generator returned "
+            f"{sorted(a)}"
+        )
+    # Same normalization/validation as upload_mesh: f32, 2-D attributes,
+    # consistent row counts — so generator mistakes fail HERE with a
+    # clear message, not deep inside the raster pipeline.
+    for k, v in a.items():
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 1:
+            v = v[:, None]
+        if v.shape[0] != jnp.shape(a["position"])[0]:
+            raise ValueError(
+                f"generated attribute {k!r} has {v.shape[0]} rows, expected "
+                f"{jnp.shape(a['position'])[0]}"
+            )
+        a[k] = v
     if device is not None:
         a = {k: jax.device_put(v, device) for k, v in a.items()}
     if a["position"].shape[0] % 3 != 0:
         raise ValueError("generated mesh needs a multiple-of-3 vertex count")
-    return Mesh(attributes=dict(a), indices=None, generator=generator)
+
+    def normalized_generator():
+        out = {}
+        for k, v in dict(generator()).items():
+            v = jnp.asarray(v, jnp.float32)
+            out[k] = v[:, None] if v.ndim == 1 else v
+        return out
+
+    return Mesh(attributes=a, indices=None, generator=normalized_generator)
 
 
 def _patch_rows(level: np.ndarray, wrap: str) -> np.ndarray:

@@ -135,10 +135,13 @@ def load_file(path, name: str | None = None) -> Shader:
 
     shd = ns.get("SHADER")
     if not isinstance(shd, Shader):
-        found = [v for k, v in ns.items() if isinstance(v, Shader) and k != "Shader"]
-        if len(found) == 1:
-            shd = found[0]
-        elif callable(ns.get("vertex")) and callable(ns.get("fragment")):
+        # Entry-point precedence: explicit vertex+fragment callables WIN
+        # over stray Shader VALUES — a module may import/inspect existing
+        # shaders (shader.get(...)) while defining its own entry points,
+        # and those references must not hijack the registration.  Shader
+        # values are deduplicated by identity so aliasing one Shader to
+        # two names still counts as one.
+        if callable(ns.get("vertex")) and callable(ns.get("fragment")):
             shd = Shader(
                 module_name,
                 ns["vertex"],
@@ -146,14 +149,23 @@ def load_file(path, name: str | None = None) -> Shader:
                 tuple(ns.get("ATTRIBUTES", ())),
             )
         else:
-            raise ShaderError(
-                f"shader module {src_path!r} defines no entry points: expected "
-                f"SHADER, a single Shader value, or vertex+fragment callables "
-                f"(found {len(found)} Shader values"
-                f"{', a vertex callable' if callable(ns.get('vertex')) else ''}"
-                f"{', a fragment callable' if callable(ns.get('fragment')) else ''}); "
-                f"registered: {sorted(_REGISTRY)}"
-            )
+            found: list[Shader] = []
+            for k, v in ns.items():
+                if isinstance(v, Shader) and k != "Shader" and all(
+                    v is not f for f in found
+                ):
+                    found.append(v)
+            if len(found) == 1:
+                shd = found[0]
+            else:
+                raise ShaderError(
+                    f"shader module {src_path!r} defines no entry points: "
+                    f"expected SHADER, vertex+fragment callables, or a single "
+                    f"Shader value (found {len(found)} distinct Shader values"
+                    f"{', a vertex callable' if callable(ns.get('vertex')) else ''}"
+                    f"{', a fragment callable' if callable(ns.get('fragment')) else ''}); "
+                    f"registered: {sorted(_REGISTRY)}"
+                )
     if name is not None and shd.name != name:
         shd = Shader(name, shd.vertex, shd.fragment, shd.attributes)
     return register(shd)

@@ -61,6 +61,18 @@ def test_sequence_synthesizes_in_program():
     # Distinct frames (the elision-proof bench contract holds for
     # generated meshes too).
     assert len(set(np.round(sums, 1))) == 3
+    # THE core property: the mesh attributes must not be closure-captured
+    # constants.  The seq program's cache key carries the ids of every
+    # captured array leaf (render_sequence_multi const_ids); for a
+    # generated mesh that set must be EMPTY — if the pop-attrs plumbing
+    # regresses, attr arrays reappear here (and if the in-program
+    # substitution regressed instead, the render above would fail).
+    seq_keys = [k for k in r._program_cache if k[0] == "seq"]
+    assert len(seq_keys) == 1
+    assert seq_keys[0][4] == (), (
+        "generated-mesh attributes leaked into the captured constants: "
+        f"{seq_keys[0][4]}"
+    )
 
 
 def test_uploaded_meshes_unchanged():

@@ -132,3 +132,38 @@ def test_load_file_no_entry_points(tmp_path):
 def test_load_file_missing_file():
     with pytest.raises(ShaderError, match="cannot read"):
         shader.load_file("/nonexistent/shader_module.py")
+
+
+def test_entry_points_win_over_imported_shader(tmp_path):
+    # A module may import/inspect an existing Shader while defining its
+    # own vertex/fragment — the explicit entry points must win, not the
+    # stray imported value.
+    path = tmp_path / "derived.py"
+    path.write_text(
+        "from based_renderer_tpu import shader as _s\n"
+        "BASE = _s.get('vertex_color')  # inspected, not the entry point\n"
+        "def vertex(attrs, uniforms):\n"
+        "    return BASE.vertex(attrs, uniforms)\n"
+        "def fragment(frag, uniforms):\n"
+        "    rgba = BASE.fragment(frag, uniforms)\n"
+        "    return rgba * jnp.float32(0.5)\n"
+    )
+    try:
+        shd = shader.load_file(path)
+        assert shd.name == "derived"
+        assert shd.vertex is not shader.get("vertex_color").vertex
+    finally:
+        _unregister("derived")
+
+
+def test_aliased_shader_counts_once(tmp_path):
+    path = tmp_path / "aliased.py"
+    path.write_text(
+        SHADER_VAR_SRC.replace("SHADER = ", "A = ")
+        + "B = A\n"  # two names, ONE shader — must still load
+    )
+    try:
+        shd = shader.load_file(path)
+        assert shd.name == "disk_flat"
+    finally:
+        _unregister("disk_flat")

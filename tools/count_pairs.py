@@ -51,7 +51,7 @@ def main():
     pipe, mesh, uniforms, instances = demos.DEMOS[which](r, **kw)
     sh = shader_lib.get(pipe.shader)
     tile_w, tile_h = pipe.raster_tile
-    scale = 1  # coverage MSAA rasterizes at 1x with padded bboxes
+    # coverage MSAA rasterizes at 1x with padded bboxes (no resolution scale)
     pad = fp.MSAA4_BBOX_PAD_FP if msaa == 4 else 0
 
     def counts_at(t):
@@ -60,13 +60,13 @@ def main():
         clip, _ = sh.vertex(attrs, u)
         clip_tri, _ = gather_triangles(clip, {}, tri_idx)
         ts = setup_triangles(
-            clip_tri, W * scale, H * scale, cull_mode=pipe.cull_mode,
+            clip_tri, W, H, cull_mode=pipe.cull_mode,
             front_face=pipe.front_face, bbox_pad_fp=pad,
         )
         bx0 = jnp.maximum(ts.bbox[:, 0], 0)
         by0 = jnp.maximum(ts.bbox[:, 1], 0)
-        bx1 = jnp.minimum(ts.bbox[:, 2], W * scale)
-        by1 = jnp.minimum(ts.bbox[:, 3], H * scale)
+        bx1 = jnp.minimum(ts.bbox[:, 2], W)
+        by1 = jnp.minimum(ts.bbox[:, 3], H)
         live = ts.valid & (bx1 > bx0) & (by1 > by0)
         bw = jnp.where(live, (bx1 - 1) // tile_w - bx0 // tile_w + 1, 0)
         bh = jnp.where(live, (by1 - 1) // tile_h - by0 // tile_h + 1, 0)

@@ -43,12 +43,37 @@ def fmt_fps(fps):
 def main():
     results_path = os.path.join(ROOT, "bench_results.jsonl")
     readme_path = os.path.join(ROOT, "README.md")
-    by_metric = {}
+    # The jsonl is append-only with a run_id per line (bench.py); a table
+    # must come from ONE run, not a mix (a timed-out partial run would
+    # otherwise silently blend with a stale complete one).  Use the
+    # latest run that covers every ROWS metric; fall back to last-line-
+    # per-metric with a LOUD warning when no complete run exists.
+    runs: dict = {}
+    order: list = []
     with open(results_path) as f:
         for line in f:
             if line.strip():
                 rec = json.loads(line)
-                by_metric[rec["metric"]] = rec
+                rid = rec.get("run_id", "<legacy>")
+                if rid not in runs:
+                    runs[rid] = {}
+                    order.append(rid)
+                runs[rid][rec["metric"]] = rec
+    needed = {m for m, _, _ in ROWS}
+    complete = [rid for rid in order if needed <= set(runs[rid])]
+    if complete:
+        rid = complete[-1]
+        by_metric = runs[rid]
+        print(f"using run {rid} (latest complete of {len(runs)})")
+    else:
+        by_metric = {}
+        for rid in order:
+            by_metric.update(runs[rid])
+        print(
+            "warning: NO complete bench run in bench_results.jsonl — table "
+            "mixes metrics across runs; rerun python bench.py",
+            file=sys.stderr,
+        )
 
     lines = [
         "  | Config | Resolution | ms/frame | fps |",
