@@ -46,6 +46,54 @@ from .setup import depth_tile_anchor
 N_TI = 19  # int template width (see binning._triangle_templates)
 
 
+def _transpose_kernel(fusedT_ref, out_ref, *, w8: int, out_width: int, chunk: int):
+    rows = []
+    for j in range(chunk // 128):
+        t = fusedT_ref[:, j * 128 : (j + 1) * 128].T  # (128, w8) Mosaic 2D transpose
+        if out_width > w8:
+            t = jnp.concatenate(
+                [t, jnp.zeros((128, out_width - w8), jnp.int32)], axis=1
+            )
+        rows.append(t)
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+def transpose_templates(fusedT, out_width: int, interpret: bool = False):
+    """Field-major templates (W8, T) -> row-major gather layout (T_pad, out_width).
+
+    The binner's row-major template matrix is built today by a
+    jnp.stack(axis=-1) whose per-column lane-interleave costs a
+    near-footprint HBM pass PER column (~12.7 ms at 1M tris x ~40 cols on
+    v5e, tools/probe_binner3.py tmpl_cur).  Building field-major instead
+    (stack(axis=0): each field is ONE contiguous row write) and doing the
+    relayout as a tiled Pallas transpose turns ~40 passes into two
+    (read + write at HBM bandwidth).  Pure data movement — the gathered
+    rows are bit-identical to the stacked layout by construction.
+
+    W8 (sublanes) must be a multiple of 8 and <= out_width (lanes are
+    zero-padded up to out_width, mirroring the XLA path's jnp.pad to the
+    gather-friendly width).  T is padded up to the chunk size; pad rows
+    are zeros and are never gathered (t_slot < num_tris).
+    """
+    w8, t = fusedT.shape
+    assert w8 % 8 == 0 and w8 <= out_width, (w8, out_width)
+    chunk = 1024
+    t_pad = -(-t // chunk) * chunk
+    if t_pad != t:
+        fusedT = jnp.pad(fusedT, ((0, 0), (0, t_pad - t)))
+    kernel = functools.partial(
+        _transpose_kernel, w8=w8, out_width=out_width, chunk=chunk
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(t_pad // chunk,),
+        in_specs=[pl.BlockSpec((w8, chunk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((chunk, out_width), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, out_width), jnp.int32),
+        interpret=interpret,
+    )(fusedT)
+
+
 def _assemble_kernel(
     scal_ref,  # (1,) int32: [total]
     fused_ref,  # (128, GW) int32 block of gathered template rows

@@ -211,6 +211,7 @@ def bin_triangles(
     interpret: bool = False,
     col_major_ids: bool = False,
     anchor_rows: int | None = None,
+    tmpl: str = "xla",
 ) -> BinnedTriangles:
     """Bin triangles into screen tiles.
 
@@ -423,21 +424,44 @@ def bin_triangles(
     # lane-interleave relayout costs the same wherever it happens, and
     # the explicit transpose adds a pass.  _triangle_templates keeps a
     # `transposed` option for a future fully-field-major assembly path.)
-    ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
-    # Post-sort row gather: ONE fused wide gather of the int template and
-    # the f32 template (riding as bitcast int32 bits — lossless).  Row
-    # width is padded up to a multiple of 64: measured on v5e, row gathers
-    # of 32..48-column rows fall off a cliff (55-78 ms/1.5M rows) while
-    # 64- and 128-column rows take ~17 ms — the lowering switches
-    # strategy at 64 columns.
-    fused = jnp.concatenate(
-        [ti, jax.lax.bitcast_convert_type(tf, jnp.int32)], axis=1
-    )
-    n_ti = ti.shape[1]
-    n_all = fused.shape[1]
-    pad_to = -(-n_all // 64) * 64
-    if pad_to != n_all:
-        fused = jnp.pad(fused, ((0, 0), (0, pad_to - n_all)))
+    if tmpl == "pallas":
+        # Field-major template build + tiled Pallas transpose: the
+        # row-major stack(axis=-1) below pays one near-footprint
+        # lane-interleave pass PER column (~12.7 ms at 1M tris on v5e),
+        # while stack(axis=0) writes each field as one contiguous row and
+        # the Pallas relayout is two HBM passes total.  Bit-identical:
+        # pure data movement over the same column expressions.
+        tiT, tfT = _triangle_templates(
+            ts, id_offset, channels, perspective, transposed=True
+        )
+        fusedT = jnp.concatenate(
+            [tiT, jax.lax.bitcast_convert_type(tfT, jnp.int32)], axis=0
+        )
+        n_ti = tiT.shape[0]
+        n_all = fusedT.shape[0]
+        pad_to = -(-n_all // 64) * 64
+        w8 = -(-n_all // 8) * 8
+        if w8 != n_all:
+            fusedT = jnp.pad(fusedT, ((0, w8 - n_all), (0, 0)))
+        from . import binassem
+
+        fused = binassem.transpose_templates(fusedT, pad_to, interpret=interpret)
+    else:
+        ti, tf = _triangle_templates(ts, id_offset, channels, perspective)
+        # Post-sort row gather: ONE fused wide gather of the int template
+        # and the f32 template (riding as bitcast int32 bits — lossless).
+        # Row width is padded up to a multiple of 64: measured on v5e, row
+        # gathers of 32..48-column rows fall off a cliff (55-78 ms/1.5M
+        # rows) while 64- and 128-column rows take ~17 ms — the lowering
+        # switches strategy at 64 columns.
+        fused = jnp.concatenate(
+            [ti, jax.lax.bitcast_convert_type(tf, jnp.int32)], axis=1
+        )
+        n_ti = ti.shape[1]
+        n_all = fused.shape[1]
+        pad_to = -(-n_all // 64) * 64
+        if pad_to != n_all:
+            fused = jnp.pad(fused, ((0, 0), (0, pad_to - n_all)))
     # The operand barrier pins the gather at the padded width: without it
     # XLA folds the pad into the gather and emits a 30-50-column row
     # gather — exactly the pathological width range (measured 67 ms vs

@@ -1738,6 +1738,7 @@ def _raster_kernel_msaa4(
         "sublane_group",
         "assemble",
         "bin_rows",
+        "tmpl",
     ),
 )
 def rasterize_vis_pallas(
@@ -1772,6 +1773,7 @@ def rasterize_vis_pallas(
     origin=(0, 0),
     assemble: str = "xla",
     bin_rows: int | None = None,
+    tmpl: str = "xla",
 ):
     """Tile-binned Pallas rasterization; drop-in for raster_xla.rasterize_vis.
 
@@ -1824,6 +1826,7 @@ def rasterize_vis_pallas(
             interpret=interpret,
             col_major_ids=True,
             anchor_rows=tile_h,
+            tmpl=tmpl,
         )
     else:
         binned = bin_triangles(
@@ -1841,6 +1844,7 @@ def rasterize_vis_pallas(
             slots=slots,
             assemble=assemble,
             interpret=interpret,
+            tmpl=tmpl,
         )
     out = rasterize_binned(
         binned,

@@ -313,6 +313,13 @@ class Pipeline:
     # compilations may contract the re-anchor multiply-adds differently),
     # within the barycentric tolerance contract.
     raster_assemble: str = "xla"
+    # Binner template-matrix layout: "xla" builds the row-major gather
+    # matrix with stack(axis=-1) (one near-footprint lane-interleave pass
+    # per column — ~12.7 ms at 1M tris on v5e); "pallas" builds it
+    # field-major (contiguous row writes) and relayouts with a tiled
+    # Pallas transpose (two HBM passes).  Pure data movement — gathered
+    # records are bit-identical either way.
+    raster_tmpl: str = "xla"
     # Covered-tile-compacted deferred shading (ops/compact.py): budget the
     # fragment pass (and its texture-tap gathers) to a fraction — or a
     # LADDER of fractions — of the framebuffer's (8, 128) tiles.  Tiles
@@ -381,6 +388,10 @@ class Pipeline:
         if self.raster_assemble not in ("xla", "pallas"):
             raise ValueError(
                 f"raster_assemble must be 'xla' or 'pallas', got {self.raster_assemble!r}"
+            )
+        if self.raster_tmpl not in ("xla", "pallas"):
+            raise ValueError(
+                f"raster_tmpl must be 'xla' or 'pallas', got {self.raster_tmpl!r}"
             )
         if self.instance_cull is not None and not (0.0 < self.instance_cull <= 1.0):
             raise ValueError(

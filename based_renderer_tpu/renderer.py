@@ -781,6 +781,7 @@ class Renderer:
                         sublane_group=pipe.raster_group,
                         unroll=pipe.raster_unroll,
                         assemble=pipe.raster_assemble,
+                        tmpl=pipe.raster_tmpl,
                         # Sub-tile band binning only where the sublane
                         # variant actually runs (and not under MSAA — the
                         # MSAA sublane kernel has no band path yet).

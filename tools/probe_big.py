@@ -66,6 +66,11 @@ def main():
         # 4K tier (run with: probe_big.py slots09 3840x2160 4): worst
         # measured 0.842 pairs/tri at 4K MSAA -> 0.9 keeps ~6.9% headroom.
         "slots09": {"raster_slots_factor": 0.9},
+        # Round-5 template-layout arm: field-major build + tiled Pallas
+        # transpose (ops/binassem.transpose_templates) instead of the
+        # stack(axis=-1) lane-interleave (~12.7 ms of the binner,
+        # tools/probe_binner3.py tmpl_cur).
+        "tmplp": {"raster_tmpl": "pallas"},
     }
     arm = sys.argv[1] if len(sys.argv) > 1 else "default"
     size = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"

@@ -168,6 +168,34 @@ def check_bit_identity(quick: bool = False):
     print(f"sublane bin_rows=2 pallas-assembly mosaic: {bp_ok}", flush=True)
     ok &= bp_ok
 
+    # Pallas template layout (Pipeline.raster_tmpl="pallas") under
+    # compiled Mosaic: the field-major build + tiled transpose is pure
+    # data movement, so the binned RECORD STREAMS must be bitwise equal
+    # to the stack(axis=-1) layout — records, frecords, and tile tables.
+    from based_renderer_tpu.ops.binning import bin_triangles
+
+    ch_t = jnp.asarray(
+        np.random.default_rng(11).normal(size=(n, 3, 4)).astype(np.float32)
+    )
+    b_base = jax.jit(
+        lambda t, c: bin_triangles(t, W, H, channels=c, tile_w=128, tile_h=8,
+                                   max_pairs=n * 128)
+    )(ts2, ch_t)
+    b_tmpl = jax.jit(
+        lambda t, c: bin_triangles(t, W, H, channels=c, tile_w=128, tile_h=8,
+                                   max_pairs=n * 128, tmpl="pallas")
+    )(ts2, ch_t)
+    tp_ok = np.array_equal(np.asarray(b_base.records), np.asarray(b_tmpl.records))
+    tp_ok &= np.array_equal(
+        np.asarray(b_base.frecords).view(np.int32),
+        np.asarray(b_tmpl.frecords).view(np.int32),
+    )
+    tp_ok &= np.array_equal(
+        np.asarray(b_base.tile_start), np.asarray(b_tmpl.tile_start)
+    ) and np.array_equal(np.asarray(b_base.tile_count), np.asarray(b_tmpl.tile_count))
+    print(f"tmpl pallas-transpose mosaic: {tp_ok}", flush=True)
+    ok &= tp_ok
+
     # Sublane coverage-MSAA kernel under compiled Mosaic (the widened
     # one-hot matmul + per-sample accumulators).
     vms = rasterize_vis_pallas(ts, W, H, tile_h=8, sublane=True, msaa4=True)
