@@ -69,7 +69,9 @@ def main():
         # Round-5 template-layout arm: field-major build + tiled Pallas
         # transpose (ops/binassem.transpose_templates) instead of the
         # stack(axis=-1) lane-interleave (~12.7 ms of the binner,
-        # tools/probe_binner3.py tmpl_cur).
+        # tools/probe_binner3.py tmpl_cur).  MEASURED DEAD END (same-hour
+        # v5e A/B): tmplp 53.769 vs default 52.092 ms — the standalone
+        # interleave cost does not materialize in the full frame.
         "tmplp": {"raster_tmpl": "pallas"},
     }
     arm = sys.argv[1] if len(sys.argv) > 1 else "default"
