@@ -36,6 +36,7 @@ BATCHES = [
         "tests/test_pallas.py",
         "tests/test_msaa.py",
         "tests/test_binassem.py",
+        "tests/test_tmpl.py",
     ],
     [
         # Keep this batch light on XLA compiles: one pytest process
