@@ -25,6 +25,10 @@ def main():
         "default": {},
         "group64": {"raster_group": 64},
         "group16": {"raster_group": 16},
+        # Round-5: G=128 spans 16 VPU registers per op — amortizes the
+        # per-group (G, 1) coefficient loads and loop control further
+        # than the measured group64 winner (CHUNK % 128 == 0 holds).
+        "group128": {"raster_group": 128},
         # The procedural mesh never leaves the depth window (the demo
         # already skips the near clipper on the same grounds), so the
         # per-fragment depth clip can be dropped: the sublane kernels'
